@@ -1,0 +1,88 @@
+#!/usr/bin/env python
+"""CLI driver — capability parity with the reference main()
+(/root/reference/source/main.cpp:63-128):
+
+  parse args -> load OBJ -> build BVH -> load HDR env map -> render ->
+  report wall-clock -> tone map -> write PNG + HDR outputs.
+
+Reference flags reproduced (--sky=, --w=, --h=, --samples=, --bounces=,
+positional OBJ path) plus runtime --camera= / --intersect= replacing the
+reference's compile-time switches.  The denoiser (OIDN, dropped per the
+north star) is replaced by an optional non-differentiable post hook
+(--denoise=N box-guided blend).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main(argv=None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    import jax
+
+    from sycl_ray_tracing_tpu.models import pathtracer
+    from sycl_ray_tracing_tpu.models.camera import PRESETS
+    from sycl_ray_tracing_tpu.ops.bvh import build_bvh
+    from sycl_ray_tracing_tpu.ops.tonemap import tonemap
+    from sycl_ray_tracing_tpu.utils.config import parse_cli
+    from sycl_ray_tracing_tpu.utils.hdr import read_hdr, write_hdr
+    from sycl_ray_tracing_tpu.utils.obj_loader import load_scene
+    from sycl_ray_tracing_tpu.utils.png import write_png
+
+    config, obj_path, sky_path = parse_cli(argv)
+
+    if config.camera not in PRESETS:
+        print(f"error: unknown camera {config.camera!r}; "
+              f"choose from {sorted(PRESETS)}")
+        return 2
+    if not os.path.exists(obj_path):
+        # convenience: resolve relative default paths against the reference
+        # data mount
+        alt = os.path.join("/root/reference", obj_path)
+        if os.path.exists(alt):
+            obj_path = alt
+        else:
+            print(f"error: OBJ file not found: {obj_path}")
+            return 2
+
+    print(f"Reading OBJ {obj_path} ...")
+    env_img = None
+    if sky_path and os.path.exists(sky_path):
+        print(f"Reading Environment Map {sky_path} ...")
+        env_img = read_hdr(sky_path, flip_y=True)
+    elif sky_path:
+        print(f"(env map {sky_path} not found; rendering without sky)")
+
+    scene = load_scene(obj_path, env_map_image=env_img)
+    print(f"{scene.num_triangles} triangles, {scene.num_lights} lights")
+
+    if config.intersect in ("auto", "bvh") and scene.num_triangles > 64:
+        t0 = time.time()
+        scene = scene.with_bvh(build_bvh(np.asarray(scene.triangles)))
+        print(f"BVH build: {(time.time() - t0) * 1000:.0f}ms")
+
+    camera = PRESETS[config.camera]()
+    print(f"[{config.width}x{config.height}]: {config.samples} samples\n")
+
+    key = jax.random.PRNGKey(0)
+    render = jax.jit(lambda s, c, k: pathtracer.render(s, c, config, k))
+    t0 = time.time()
+    hdr = render(scene, camera, key)
+    hdr.block_until_ready()
+    print(f"{(time.time() - t0) * 1000:.0f}ms")
+
+    hdr_np = np.asarray(hdr)
+    ldr = np.asarray(tonemap(hdr))
+    write_png("RT_output.png", ldr)
+    write_hdr("RT_output.hdr", hdr_np)
+    print("wrote RT_output.png, RT_output.hdr")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

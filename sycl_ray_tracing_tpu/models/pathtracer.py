@@ -1,0 +1,405 @@
+"""The path-tracing integrator: a wavefront over flat ray batches.
+
+TPU-first redesign of the reference's per-pixel recursive loop
+(render_kernel.cpp:75-181):
+
+  * the bounce loop is a ``lax.scan`` carrying {ray, throughput, radiance,
+    alive} for a whole batch of rays — per-ray control flow (the reference's
+    BOUNCE/MISSED/TERMINATED state machine, :96-161) becomes alive-masks
+  * the sample loop is a ``lax.scan`` with linear HDR accumulation
+  * RNG is counter-based threefry keyed (pixel-batch, sample, bounce,
+    purpose) — replayable in the backward pass, replacing stateful xorshift
+    (xorshift.h:10-31, seeded :77-82)
+
+Semantics preserved per bounce (reference :96-161):
+  * emissive-triangle NEE with two-sided power-heuristic MIS (:633-713)
+  * env-map NEE with two-sided MIS (:569-631)
+  * GGX-importance-sampled continuation; throughput *= brdf*cos/pdf (:137)
+  * kill on black brdf / degenerate pdf (:130-135)
+  * continuation origin offset 1e-4 * normal (:139)
+  * emission added only at bounce 0 (:126-127)
+  * env radiance on miss only for primary rays (:146-158)
+  * no Russian roulette
+
+The whole function is differentiable w.r.t. scene materials, env-map texels
+and camera pose.  Sampled directions are differentiable too (reparameterized
+gradients); pdfs in MIS weights are kept differentiable so jax.grad equals
+the finite difference of this very program at matched seeds.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from sycl_ray_tracing_tpu.models.camera import Camera
+from sycl_ray_tracing_tpu.models.scene import Scene
+from sycl_ray_tracing_tpu.ops import envmap as env_ops
+from sycl_ray_tracing_tpu.ops.brdf import (
+    cook_torrance_eval,
+    cook_torrance_pdf,
+    ggx_importance_sample,
+)
+from sycl_ray_tracing_tpu.ops.intersect import (
+    Hit,
+    intersect_spheres,
+    intersect_triangles,
+    merge_hits,
+)
+from sycl_ray_tracing_tpu.ops.safe_math import RAY_OFFSET, dot
+from sycl_ray_tracing_tpu.ops.sampling import power_heuristic, sample_triangle_uniform
+from sycl_ray_tracing_tpu.utils.config import RenderConfig
+
+# purpose tags for key folding — one stream per random decision
+_JITTER = 0
+_LIGHT = 1       # light pick + area sample (3 uniforms)
+_NEE_BRDF = 2    # GGX sample for the light-MIS brdf term (2)
+_ENV = 3         # env CDF row/col (2)
+_ENV_BRDF = 4    # GGX sample for the env-MIS brdf term (2)
+_CONT = 5        # GGX sample for the continuation ray (2)
+
+
+def _uniforms(key, bounce, tag, shape):
+    k = jax.random.fold_in(jax.random.fold_in(key, bounce), tag)
+    return jax.random.uniform(k, shape, jnp.float32)
+
+
+def intersect_scene(scene: Scene, ray_o, ray_d, backend: str = "auto") -> Hit:
+    """Closest-hit dispatch (reference INTERSECT_SCENE,
+    render_kernel.cpp:504-511): BVH or brute-force triangles, plus
+    brute-force spheres (:485-502).  Sphere hits get primitive index
+    N + sphere_id."""
+    if backend == "auto":
+        backend = "bvh" if scene.bvh is not None else "brute"
+    if backend == "bvh":
+        from sycl_ray_tracing_tpu.ops.bvh import intersect_bvh
+
+        hit = intersect_bvh(scene.bvh, scene.triangles, ray_o, ray_d)
+    else:
+        hit = intersect_triangles(ray_o, ray_d, scene.triangles)
+    if scene.num_spheres > 0:
+        n = scene.num_triangles
+        sphere_prim = n + jnp.arange(scene.num_spheres, dtype=jnp.int32)
+        s_hit = intersect_spheres(
+            ray_o, ray_d, scene.sphere_centers, scene.sphere_radii, sphere_prim
+        )
+        hit = merge_hits(hit, s_hit)
+    return hit
+
+
+def occluded(scene: Scene, ray_o, ray_d, t_max, backend: str = "auto"):
+    """Shadow-ray test with the reference's t_max - 1e-4 slack
+    (evaluate_shadow_ray, render_kernel.cpp:744-759)."""
+    hit = intersect_scene(scene, ray_o, ray_d, backend)
+    return hit.hit & (hit.t + 1e-4 < t_max)
+
+
+def _material_of_prim(scene: Scene, prim):
+    """Material row for a primitive index ([0,N) triangles, [N,N+S) spheres)."""
+    n = scene.num_triangles
+    tri_mat = scene.material_indices[jnp.clip(prim, 0, n - 1)]
+    if scene.num_spheres > 0:
+        sph_mat = scene.sphere_material[
+            jnp.clip(prim - n, 0, scene.num_spheres - 1)
+        ]
+        return jnp.where(prim < n, tri_mat, sph_mat)
+    return tri_mat
+
+
+def _sample_lights_nee(scene, backend, hit, view, diffuse, metal, rough, key, bounce):
+    """Direct lighting from emissive triangles, both MIS terms
+    (reference sample_light_sources, render_kernel.cpp:633-713)."""
+    B = hit.t.shape[0]
+    num_lights = scene.num_lights
+    radiance = jnp.zeros((B, 3), jnp.float32)
+    if num_lights == 0:
+        return radiance
+
+    u = _uniforms(key, bounce, _LIGHT, (B, 3))
+
+    # --- light-sample term ---
+    pick = jnp.minimum((u[:, 0] * num_lights).astype(jnp.int32), num_lights - 1)
+    light_tri_idx = scene.emissive_indices[pick]
+    tri = scene.triangles[light_tri_idx]                       # [B,3,3]
+    lp, ln, area = sample_triangle_uniform(
+        tri[:, 0], tri[:, 1], tri[:, 2], u[:, 1], u[:, 2]
+    )
+    pdf_area = 1.0 / jnp.maximum(num_lights * area, 1e-12)
+
+    origin = hit.point + hit.normal * RAY_OFFSET
+    to_light = lp - origin
+    dist = jnp.linalg.norm(to_light, axis=-1)
+    wi = to_light / jnp.maximum(dist, 1e-12)[..., None]
+
+    cos_light = jnp.maximum(0.0, dot(ln, -wi))
+    front = cos_light > 0.0
+    shadowed = occluded(scene, origin, wi, dist, backend)
+
+    # sanitize masked lanes BEFORE arithmetic: a cos_light ~ 0 lane makes
+    # light_pdf explode; even though the contribution is where-masked out,
+    # inf/NaN intermediates poison the backward pass (NaN*0 = NaN)
+    light_pdf = pdf_area * dist * dist / jnp.maximum(cos_light, 1e-6)
+    light_pdf = jnp.where(front, light_pdf, 1.0)
+    light_emission = scene.materials.emission[
+        _material_of_prim(scene, light_tri_idx)
+    ]
+    brdf = cook_torrance_eval(diffuse, metal, rough, wi, view, hit.normal)
+    brdf_pdf = cook_torrance_pdf(rough, view, wi, hit.normal)
+    mis_w = power_heuristic(light_pdf, brdf_pdf)
+    cos_surf = dot(hit.normal, wi)
+    contrib = (
+        light_emission
+        * (cos_surf * mis_w / jnp.maximum(light_pdf, 1e-12))[..., None]
+        * brdf
+    )
+    ok = hit.hit & front & (~shadowed) & (brdf_pdf != 0.0) & (cos_surf > 0.0)
+    radiance = radiance + jnp.where(ok[..., None], contrib, 0.0)
+
+    # --- brdf-sample term: did a GGX-sampled ray hit an emitter? ---
+    ub = _uniforms(key, bounce, _NEE_BRDF, (B, 2))
+    brdf_s, wi_s, pdf_s = ggx_importance_sample(
+        diffuse, metal, rough, view, hit.normal, ub[:, 0], ub[:, 1]
+    )
+    origin_s = hit.point + hit.normal * 1e-5  # reference uses 1e-5 here (:684)
+    h2 = intersect_scene(scene, origin_s, wi_s, backend)
+    n_tris = scene.num_triangles
+    cos_at_light = jnp.maximum(0.0, dot(h2.normal, -wi_s))
+    hit_mat = _material_of_prim(scene, h2.prim)
+    hit_emission = scene.materials.emission[hit_mat]
+    is_emitter = jnp.any(hit_emission > 0.0, axis=-1) & (h2.prim < n_tris)
+
+    from sycl_ray_tracing_tpu.ops.sampling import triangle_area
+
+    light_area2 = triangle_area(scene.triangles[jnp.clip(h2.prim, 0, n_tris - 1)])
+    # h2.t is the BIG_T sentinel on miss — squaring it overflows float32 to
+    # inf and NaN-poisons the backward pass; sanitize missed lanes first
+    t2_safe = jnp.where(h2.hit, h2.t, 1.0)
+    light_pdf2 = (t2_safe * t2_safe) / jnp.maximum(
+        light_area2 * cos_at_light, 1e-6
+    )
+    light_pdf2 = jnp.where(h2.hit & (cos_at_light > 0.0), light_pdf2, 1.0)
+    mis_w2 = power_heuristic(pdf_s, light_pdf2)
+    cos_surf2 = dot(hit.normal, wi_s)
+    contrib2 = (
+        brdf_s
+        * hit_emission
+        * (cos_surf2 * mis_w2 / jnp.maximum(pdf_s, 1e-12))[..., None]
+    )
+    ok2 = (
+        hit.hit
+        & h2.hit
+        & is_emitter
+        & (cos_at_light > 0.0)
+        & (pdf_s > 0.0)
+        & jnp.any(brdf_s > 0.0, axis=-1)
+    )
+    return radiance + jnp.where(ok2[..., None], contrib2, 0.0)
+
+
+def _sample_env_nee(scene, backend, hit, view, diffuse, metal, rough, key, bounce):
+    """Direct lighting from the environment map, both MIS terms
+    (reference sample_environment_map, render_kernel.cpp:569-631)."""
+    B = hit.t.shape[0]
+    radiance = jnp.zeros((B, 3), jnp.float32)
+    if scene.env_map is None:
+        return radiance
+    sampler = scene.env_map
+
+    # --- env-sample term ---
+    u = _uniforms(key, bounce, _ENV, (B, 2))
+    wi, env_rad, env_pdf, _ = env_ops.sample(sampler, u[:, 0], u[:, 1])
+    cos_term = dot(hit.normal, wi)
+    origin = hit.point + hit.normal * RAY_OFFSET
+    blocked = intersect_scene(scene, origin, wi, backend).hit
+    brdf = cook_torrance_eval(diffuse, metal, rough, wi, view, hit.normal)
+    brdf_pdf = cook_torrance_pdf(rough, view, wi, hit.normal)
+    mis_w = power_heuristic(env_pdf, brdf_pdf)
+    contrib = (
+        brdf * env_rad * (cos_term * mis_w / jnp.maximum(env_pdf, 1e-12))[..., None]
+    )
+    ok = hit.hit & (cos_term > 0.0) & (~blocked) & (env_pdf > 0.0)
+    radiance = radiance + jnp.where(ok[..., None], contrib, 0.0)
+
+    # --- brdf-sample term ---
+    ub = _uniforms(key, bounce, _ENV_BRDF, (B, 2))
+    brdf_s, wi_s, pdf_s = ggx_importance_sample(
+        diffuse, metal, rough, view, hit.normal, ub[:, 0], ub[:, 1]
+    )
+    cos_s = jnp.maximum(0.0, dot(hit.normal, wi_s))
+    origin_s = hit.point + hit.normal * 1e-5  # reference offset (:615)
+    blocked_s = intersect_scene(scene, origin_s, wi_s, backend).hit
+    env_rad_s = env_ops.eval_direction(sampler.image, wi_s)
+    env_pdf_s = env_ops.pdf_of_direction(sampler, wi_s)
+    mis_w_s = power_heuristic(pdf_s, env_pdf_s)
+    contrib_s = (
+        brdf_s * env_rad_s * (cos_s * mis_w_s / jnp.maximum(pdf_s, 1e-12))[..., None]
+    )
+    ok_s = hit.hit & (pdf_s > 0.0) & (cos_s > 0.0) & (~blocked_s)
+    return radiance + jnp.where(ok_s[..., None], contrib_s, 0.0)
+
+
+def trace(scene: Scene, ray_o, ray_d, key, bounces: int,
+          backend: str = "auto", nee: bool = True):
+    """Trace one path per ray; returns radiance [B,3].
+
+    Vectorized equivalent of the reference bounce loop
+    (render_kernel.cpp:96-161).
+
+    ``nee=False`` selects the naive BRDF-sampling-only estimator (emission
+    gathered at EVERY bounce, env at every miss, no NEE/MIS) — an unbiased
+    estimator of the same integral, used by the test suite to statistically
+    validate the MIS weights.
+    """
+    B = ray_o.shape[0]
+
+    def bounce_body(carry, bounce):
+        ray_o, ray_d, throughput, radiance, alive = carry
+
+        hit = intersect_scene(scene, ray_o, ray_d, backend)
+        live_hit = alive & hit.hit
+
+        mat_idx = _material_of_prim(scene, hit.prim)
+        emission, diffuse, metal, rough = scene.materials.lookup(mat_idx)
+        view = -ray_d
+
+        if nee:
+            # emission only on primary hits (reference :126-127)
+            radiance = radiance + jnp.where(
+                (live_hit & (bounce == 0))[..., None], emission, 0.0
+            )
+
+            # direct lighting (NEE + MIS), masked to live hits
+            direct = _sample_lights_nee(
+                scene, backend, hit, view, diffuse, metal, rough, key, bounce
+            ) + _sample_env_nee(
+                scene, backend, hit, view, diffuse, metal, rough, key, bounce
+            )
+            radiance = radiance + jnp.where(
+                live_hit[..., None], direct * throughput, 0.0
+            )
+
+            # env on miss, primary rays only (reference :146-158)
+            if scene.env_map is not None:
+                sky = env_ops.eval_direction(scene.env_map.image, ray_d)
+                miss_primary = alive & (~hit.hit) & (bounce == 0)
+                radiance = radiance + jnp.where(
+                    miss_primary[..., None], sky * throughput, 0.0
+                )
+        else:
+            # naive estimator: gather emission wherever the path lands.
+            # One-sided for secondary hits, to match the support of the NEE
+            # MIS terms (both require a front-facing emitter); primary hits
+            # count both sides like the reference's bounce-0 rule (:126-127).
+            front = dot(hit.normal, -ray_d) > 0.0
+            gather = live_hit & ((bounce == 0) | front)
+            radiance = radiance + jnp.where(
+                gather[..., None], emission * throughput, 0.0
+            )
+            if scene.env_map is not None:
+                sky = env_ops.eval_direction(scene.env_map.image, ray_d)
+                miss = alive & (~hit.hit)
+                radiance = radiance + jnp.where(
+                    miss[..., None], sky * throughput, 0.0
+                )
+
+        # continuation: GGX importance sample (reference :121-141).
+        # naive mode uses cosine-hemisphere sampling instead: same integral,
+        # but with healthy pdfs in ALL directions — GGX-only sampling makes
+        # diffuse transport a one-in-thousands firefly event, useless as a
+        # statistical cross-check (and the reason the reference's own
+        # low-roughness walls get almost no indirect light).
+        uc = _uniforms(key, bounce, _CONT, (B, 2))
+        if nee:
+            brdf_c, wi_c, pdf_c = ggx_importance_sample(
+                diffuse, metal, rough, view, hit.normal, uc[:, 0], uc[:, 1]
+            )
+        else:
+            from sycl_ray_tracing_tpu.ops.sampling import cosine_hemisphere
+
+            wi_c, pdf_c = cosine_hemisphere(hit.normal, uc[:, 0], uc[:, 1])
+            brdf_c = cook_torrance_eval(
+                diffuse, metal, rough, wi_c, view, hit.normal
+            )
+        ok_c = (
+            live_hit
+            & (pdf_c >= 1e-8)
+            & jnp.isfinite(pdf_c)
+            & jnp.any(brdf_c > 0.0, axis=-1)
+        )
+        cos_c = jnp.maximum(0.0, dot(wi_c, hit.normal))
+        new_tp = throughput * brdf_c * (cos_c / jnp.maximum(pdf_c, 1e-12))[..., None]
+        throughput = jnp.where(ok_c[..., None], new_tp, throughput)
+
+        new_o = hit.point + hit.normal * RAY_OFFSET
+        ray_o = jnp.where(ok_c[..., None], new_o, ray_o)
+        ray_d = jnp.where(ok_c[..., None], wi_c, ray_d)
+        alive = ok_c
+
+        return (ray_o, ray_d, throughput, radiance, alive), None
+
+    init = (
+        ray_o,
+        ray_d,
+        jnp.ones((B, 3), jnp.float32),
+        jnp.zeros((B, 3), jnp.float32),
+        jnp.ones((B,), bool),
+    )
+    (ray_o, ray_d, throughput, radiance, alive), _ = jax.lax.scan(
+        bounce_body, init, jnp.arange(bounces), length=bounces
+    )
+    return radiance
+
+
+def render_rays(scene: Scene, camera: Camera, px, py,
+                width: int, height: int, key, samples: int, bounces: int,
+                backend: str = "auto", nee: bool = True):
+    """Average ``samples`` jittered paths per pixel; returns HDR [B,3].
+
+    Jitter matches the reference: uniform in [c-0.5, c+0.5) around pixel
+    centers (render_kernel.cpp:88-89).
+    """
+    B = px.shape[0]
+
+    def sample_body(accum, s):
+        ks = jax.random.fold_in(key, s)
+        uj = _uniforms(ks, 0, _JITTER, (B, 2))
+        jx = px + 0.5 + uj[:, 0] - 1.0
+        jy = py + 0.5 + uj[:, 1] - 1.0
+        ro, rd = camera.generate_rays(jx, jy, width, height)
+        rad = trace(scene, ro, rd, ks, bounces, backend, nee)
+        return accum + rad, None
+
+    accum, _ = jax.lax.scan(
+        sample_body, jnp.zeros((B, 3), jnp.float32), jnp.arange(samples)
+    )
+    return accum / samples
+
+
+def render(scene: Scene, camera: Camera, config: RenderConfig, key):
+    """Full-frame render -> linear HDR image [H,W,3].
+
+    Row 0 is the BOTTOM of the image (world +y up, reference NDC convention
+    render_kernel.cpp:56-73); PNG export flips (utils/png.py).
+    """
+    W, H = config.width, config.height
+    if config.debug_pixel is not None:
+        x0, y0 = config.debug_pixel
+        px = jnp.array([float(x0)], jnp.float32)
+        py = jnp.array([float(y0)], jnp.float32)
+        hdr = render_rays(
+            scene, camera, px, py, W, H, key, config.samples, config.bounces,
+            config.intersect,
+        )
+        return hdr.reshape(1, 1, 3)
+    ys, xs = jnp.meshgrid(
+        jnp.arange(H, dtype=jnp.float32),
+        jnp.arange(W, dtype=jnp.float32),
+        indexing="ij",
+    )
+    px = xs.reshape(-1)
+    py = ys.reshape(-1)
+    hdr = render_rays(
+        scene, camera, px, py, W, H, key, config.samples, config.bounces,
+        config.intersect,
+    )
+    return hdr.reshape(H, W, 3)

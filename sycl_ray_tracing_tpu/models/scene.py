@@ -1,0 +1,155 @@
+"""Scene representation: structure-of-arrays pytrees.
+
+TPU-first redesign of the reference's AoS buffers (parsed_obj.h:9-16,
+simple_material.h:6-13): triangles [N,3,3], material SoA, emissive index
+list, optional spheres, environment map + sampler tables, optional BVH.
+
+Everything is a registered pytree of jnp arrays so a Scene can flow through
+jit/grad/shard_map; material fields and env texels are differentiable leaves.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sycl_ray_tracing_tpu.ops.envmap import EnvMapSampler, build_sampler
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class Materials:
+    """SoA material table (reference SimpleMaterial, simple_material.h:6-13).
+
+    Index 0 is the magenta debug/default material; OBJ materials are mapped
+    with a +1 offset (reference utils.cpp:53-56,75).
+    """
+
+    emission: jnp.ndarray   # [M,3]
+    diffuse: jnp.ndarray    # [M,3]
+    metalness: jnp.ndarray  # [M]
+    roughness: jnp.ndarray  # [M] (clamped >= 1e-2 at load, utils.cpp:82)
+
+    @property
+    def count(self) -> int:
+        return self.emission.shape[0]
+
+    def lookup(self, idx: jnp.ndarray):
+        """Gather per-ray material parameters by index [...]."""
+        return (
+            self.emission[idx],
+            self.diffuse[idx],
+            self.metalness[idx],
+            self.roughness[idx],
+        )
+
+
+DEFAULT_MATERIAL = dict(
+    emission=(1.0, 0.0, 1.0),  # magenta debug emission (utils.cpp:75)
+    diffuse=(0.0, 0.0, 0.0),
+    metalness=0.0,
+    roughness=1.0,
+)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class Scene:
+    """Complete render scene as one pytree.
+
+    material_indices maps triangle index -> material row; sphere_material
+    maps sphere index -> material row (the reference threads sphere material
+    through a fake primitive index, sphere.h:49 + main.cpp:20-30; here it is
+    explicit).
+    """
+
+    triangles: jnp.ndarray            # [N,3,3] float32
+    materials: Materials
+    material_indices: jnp.ndarray     # [N] int32
+    emissive_indices: jnp.ndarray     # [K] int32 (triangle ids with Ke>0)
+    sphere_centers: jnp.ndarray       # [S,3]
+    sphere_radii: jnp.ndarray         # [S]
+    sphere_material: jnp.ndarray      # [S] int32
+    env_map: Optional[EnvMapSampler]  # None -> black sky
+    bvh: Optional[Any]                # ops.bvh.ThreadedBVH or None
+
+    @property
+    def num_triangles(self) -> int:
+        return self.triangles.shape[0]
+
+    @property
+    def num_spheres(self) -> int:
+        return self.sphere_centers.shape[0]
+
+    @property
+    def num_lights(self) -> int:
+        return self.emissive_indices.shape[0]
+
+    def with_env_map(self, image: jnp.ndarray) -> "Scene":
+        return dataclasses.replace(self, env_map=build_sampler(image))
+
+    def with_bvh(self, bvh) -> "Scene":
+        return dataclasses.replace(self, bvh=bvh)
+
+    def with_materials(self, materials: Materials) -> "Scene":
+        return dataclasses.replace(self, materials=materials)
+
+
+def make_scene(
+    triangles,
+    material_indices,
+    materials: Materials,
+    emissive_indices=None,
+    sphere_centers=None,
+    sphere_radii=None,
+    sphere_material=None,
+    env_map_image=None,
+) -> Scene:
+    """Assemble a Scene from host arrays, deriving emissive indices from
+    material emission if not given (reference utils.cpp:58-69)."""
+    triangles = jnp.asarray(triangles, jnp.float32)
+    material_indices = jnp.asarray(material_indices, jnp.int32)
+
+    if emissive_indices is None:
+        em = np.asarray(materials.emission)
+        mi = np.asarray(material_indices)
+        is_emissive = (em[mi] > 0.0).any(axis=-1)
+        # row 0 is the debug material, never a light (utils.cpp:58-69 only
+        # collects real MTL emitters)
+        is_emissive &= mi > 0
+        emissive_indices = np.nonzero(is_emissive)[0]
+    emissive_indices = jnp.asarray(emissive_indices, jnp.int32)
+
+    if sphere_centers is None:
+        sphere_centers = jnp.zeros((0, 3), jnp.float32)
+        sphere_radii = jnp.zeros((0,), jnp.float32)
+        sphere_material = jnp.zeros((0,), jnp.int32)
+
+    env = None
+    if env_map_image is not None:
+        env = build_sampler(jnp.asarray(env_map_image, jnp.float32))
+
+    return Scene(
+        triangles=triangles,
+        materials=materials,
+        material_indices=material_indices,
+        emissive_indices=emissive_indices,
+        sphere_centers=jnp.asarray(sphere_centers, jnp.float32),
+        sphere_radii=jnp.asarray(sphere_radii, jnp.float32),
+        sphere_material=jnp.asarray(sphere_material, jnp.int32),
+        env_map=env,
+        bvh=None,
+    )
+
+
+def make_materials(emission, diffuse, metalness, roughness) -> Materials:
+    return Materials(
+        emission=jnp.asarray(emission, jnp.float32),
+        diffuse=jnp.asarray(diffuse, jnp.float32),
+        metalness=jnp.asarray(metalness, jnp.float32),
+        roughness=jnp.asarray(roughness, jnp.float32),
+    )

@@ -1,0 +1,141 @@
+"""Cook–Torrance BRDF: evaluation, pdf, and GGX-NDF importance sampling.
+
+Capability parity with reference render_kernel.cpp:
+  * GGX normal distribution (:223-233), Schlick Fresnel (:218-221),
+    Smith/Schlick-GGX masking with k = alpha/2 (:235-245)
+  * metalness workflow F0 = 0.04*(1-m) + m*base (:284)
+  * kD = (1-m)*(1-F) diffuse + specular F*D*G/(4 NoV NoL) (:291-297)
+  * pdf = D*NoH / (4 VoH) (:247-258)
+  * NDF importance sampling theta = acos(sqrt((1-u)/(u*(a^2-1)+1))) with
+    below-surface rejection (:392-451)
+  * lambertian_brdf (:213-216)
+
+All functions are batched over [...]-shaped inputs and fully differentiable
+(safe-math guarded) w.r.t. material parameters.
+
+Material parameters are passed as a dict-like SoA:
+  diffuse [...,3], metalness [...], roughness [...].
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from sycl_ray_tracing_tpu.ops.safe_math import dot, normalize, safe_sqrt
+from sycl_ray_tracing_tpu.ops.sampling import to_world
+
+
+def lambertian_brdf(diffuse):
+    """diffuse/pi (reference render_kernel.cpp:213-216)."""
+    return diffuse / jnp.pi
+
+
+def fresnel_schlick(f0, voh):
+    """Schlick approximation (reference render_kernel.cpp:218-221)."""
+    return f0 + (1.0 - f0) * jnp.power(jnp.clip(1.0 - voh, 0.0, 1.0), 5.0)[..., None]
+
+
+def ggx_ndf(alpha, noh):
+    """GGX/Trowbridge-Reitz D with the reference's NoH<=0.999999 clamp
+    (render_kernel.cpp:223-233)."""
+    noh = jnp.minimum(noh, 0.999999)
+    a2 = alpha * alpha
+    b = noh * noh * (a2 - 1.0) + 1.0
+    return a2 / (jnp.pi * b * b)
+
+
+def _g1_schlick_ggx(k, d):
+    return d / (d * (1.0 - k) + k)
+
+
+def ggx_smith_g(alpha, nov, nol):
+    """Smith masking-shadowing, Schlick-GGX G1 with k = alpha/2
+    (reference render_kernel.cpp:235-245)."""
+    k = alpha / 2.0
+    return _g1_schlick_ggx(k, nol) * _g1_schlick_ggx(k, nov)
+
+
+def cook_torrance_eval(diffuse, metalness, roughness, to_light, view, normal):
+    """BRDF value [...,3] for given directions (render_kernel.cpp:260-301).
+
+    ``view`` points away from the surface toward the camera (-ray.direction),
+    ``to_light`` away from the surface toward the light.
+    """
+    h = normalize(view + to_light)
+    nov = jnp.maximum(0.0, dot(normal, view))
+    nol = jnp.maximum(0.0, dot(normal, to_light))
+    noh = jnp.maximum(0.0, dot(normal, h))
+    voh = jnp.maximum(0.0, dot(h, view))
+
+    alpha = roughness * roughness
+    f0 = 0.04 * (1.0 - metalness)[..., None] + metalness[..., None] * diffuse
+    f = fresnel_schlick(f0, voh)
+    d = ggx_ndf(alpha, noh)
+    g = ggx_smith_g(alpha, nov, nol)
+
+    kd = (1.0 - metalness)[..., None] * (1.0 - f)
+    diffuse_part = kd * diffuse / jnp.pi
+    denom = jnp.maximum(4.0 * nov * nol, 1e-8)
+    specular_part = f * (d * g / denom)[..., None]
+
+    valid = (nov > 0.0) & (nol > 0.0) & (noh > 0.0)
+    return jnp.where(valid[..., None], diffuse_part + specular_part, 0.0)
+
+
+def cook_torrance_pdf(roughness, view, to_light, normal):
+    """NDF-sampling pdf D*NoH/(4 VoH) (render_kernel.cpp:247-258)."""
+    h = normalize(view + to_light)
+    alpha = roughness * roughness
+    voh = jnp.maximum(0.0, dot(view, h))
+    noh = jnp.maximum(0.0, dot(normal, h))
+    d = ggx_ndf(alpha, noh)
+    return jnp.where(voh > 0.0, d * noh / jnp.maximum(4.0 * voh, 1e-8), 0.0)
+
+
+def ggx_importance_sample(diffuse, metalness, roughness, view, normal, u1, u2):
+    """Sample a GGX microfacet normal, reflect, and evaluate in one call
+    (reference cook_torrance_brdf_importance_sample, render_kernel.cpp:392-451).
+
+    Returns (brdf [...,3], direction [...,3], pdf [...]).
+    brdf and pdf are zero where the sampled microfacet normal fell below the
+    surface (:409-411) or any of NoV/NoL/NoH was non-positive.
+    """
+    alpha = roughness * roughness
+    phi = 2.0 * jnp.pi * u1
+    # Standard GGX-NDF inversion: cos^2(theta) = (1-u)/(u*(alpha^2-1)+1).
+    # NOTE: deliberate fix vs the reference (render_kernel.cpp:404), which
+    # samples acos((1-u)/(u*(alpha^4-1)+1)) — a distribution that does NOT
+    # match the pdf D*NoH/(4*VoH) it divides by (biased estimator).  Here the
+    # sampled distribution matches cook_torrance_pdf exactly.
+    cos2 = (1.0 - u2) / (u2 * (alpha * alpha - 1.0) + 1.0)
+    cos_theta = safe_sqrt(jnp.clip(cos2, 0.0, 1.0))
+    sin_theta = safe_sqrt(jnp.maximum(0.0, 1.0 - cos2))
+    local_h = jnp.stack(
+        [jnp.cos(phi) * sin_theta, jnp.sin(phi) * sin_theta, cos_theta],
+        axis=-1,
+    )
+    h = to_world(normal, local_h)
+    above = dot(h, normal) >= 0.0
+
+    to_light = normalize(2.0 * dot(h, view)[..., None] * h - view)
+
+    nov = jnp.maximum(0.0, dot(normal, view))
+    nol = jnp.maximum(0.0, dot(normal, to_light))
+    noh = jnp.maximum(0.0, dot(normal, h))
+    voh = jnp.maximum(0.0, dot(h, view))
+    valid = above & (nov > 0.0) & (nol > 0.0) & (noh > 0.0)
+
+    d = ggx_ndf(alpha, noh)
+    f0 = 0.04 * (1.0 - metalness)[..., None] + metalness[..., None] * diffuse
+    f = fresnel_schlick(f0, voh)
+    g = ggx_smith_g(alpha, nov, nol)
+
+    kd = (1.0 - metalness)[..., None] * (1.0 - f)
+    diffuse_part = kd * diffuse / jnp.pi
+    denom = jnp.maximum(4.0 * nov * nol, 1e-8)
+    specular_part = f * (d * g / denom)[..., None]
+
+    pdf = d * noh / jnp.maximum(4.0 * voh, 1e-8)
+    brdf = jnp.where(valid[..., None], diffuse_part + specular_part, 0.0)
+    pdf = jnp.where(valid, pdf, 0.0)
+    return brdf, to_light, pdf

@@ -1,0 +1,133 @@
+"""Equirectangular environment map: lookup, luminance CDF, importance sampling.
+
+Capability parity with the reference:
+  * direction -> lat/long texel lookup (render_kernel.cpp:520-530)
+  * flat luminance prefix-sum CDF over all texels (utils.cpp:126-142)
+  * CDF inversion by binary search (render_kernel.cpp:532-567) — here a
+    *separable* row/column CDF inverted with ``jnp.searchsorted``, the
+    standard formulation (the reference's flat-CDF row search via the last
+    column is an approximation of the same marginal; SURVEY.md §7.5)
+  * pdf = (lum/total) * W*H / (2 pi^2 sin(theta)) (render_kernel.cpp:594-595)
+
+The sampled-direction convention matches the reference exactly
+(render_kernel.cpp:586): dir = (-sin(t)cos(p), -cos(t), -sin(t)sin(p)).
+
+Differentiable w.r.t. the env-map texels: radiance lookups are gathers
+(gradients scatter into texels); the CDF/pdf path is detached by design
+(stop_gradient) — that is the detached-sampling estimator, unbiased for
+texel gradients.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from sycl_ray_tracing_tpu.ops.safe_math import luminance, safe_asin
+
+
+class EnvMapSampler(NamedTuple):
+    """Precomputed sampling tables for an equirect env map [H,W,3]."""
+
+    image: jnp.ndarray        # [H,W,3] radiance texels (differentiable)
+    row_cdf: jnp.ndarray      # [H] inclusive prefix sum of row luminance sums
+    cond_cdf: jnp.ndarray     # [H,W] inclusive prefix sums within each row
+    total: jnp.ndarray        # [] total luminance
+
+
+def build_sampler(image: jnp.ndarray) -> EnvMapSampler:
+    """Build separable CDF tables.  The tables are detached — sampling
+    *locations* carry no gradient, texel radiance does."""
+    lum = jax.lax.stop_gradient(luminance(image))             # [H,W]
+    cond_cdf = jnp.cumsum(lum, axis=1)                        # [H,W]
+    row_sums = cond_cdf[:, -1]                                # [H]
+    row_cdf = jnp.cumsum(row_sums)                            # [H]
+    total = jnp.maximum(row_cdf[-1], 1e-12)
+    return EnvMapSampler(image=image, row_cdf=row_cdf, cond_cdf=cond_cdf, total=total)
+
+
+def eval_direction(image: jnp.ndarray, direction: jnp.ndarray) -> jnp.ndarray:
+    """Nearest-texel lat/long lookup for directions [...,3]
+    (reference render_kernel.cpp:520-530)."""
+    h, w = image.shape[0], image.shape[1]
+    u = 0.5 + jnp.arctan2(direction[..., 2], direction[..., 0]) / (2.0 * jnp.pi)
+    v = 0.5 + safe_asin(direction[..., 1]) / jnp.pi
+    x = jnp.clip((u * w).astype(jnp.int32), 0, w - 1)
+    y = jnp.clip((v * h).astype(jnp.int32), 0, h - 1)
+    return image[y, x]
+
+
+def texel_coords_of_direction(shape, direction):
+    """(x, y) integer texel coords of directions (for pdf evaluation)."""
+    h, w = shape
+    u = 0.5 + jnp.arctan2(direction[..., 2], direction[..., 0]) / (2.0 * jnp.pi)
+    v = 0.5 + safe_asin(direction[..., 1]) / jnp.pi
+    x = jnp.clip((u * w).astype(jnp.int32), 0, w - 1)
+    y = jnp.clip((v * h).astype(jnp.int32), 0, h - 1)
+    return x, y
+
+
+def sample(sampler: EnvMapSampler, u_row, u_col):
+    """Importance-sample texels proportional to luminance.
+
+    u_row, u_col: uniforms [...].  Returns (direction [...,3],
+    radiance [...,3], pdf [...], sin_theta [...]).
+    """
+    h, w = sampler.image.shape[0], sampler.image.shape[1]
+
+    y = jnp.searchsorted(sampler.row_cdf, u_row * sampler.total, side="right")
+    y = jnp.clip(y, 0, h - 1)
+
+    row_lo = jnp.where(y > 0, sampler.row_cdf[y - 1], 0.0)
+    row_sum = jnp.maximum(sampler.row_cdf[y] - row_lo, 1e-12)
+    cond = sampler.cond_cdf[y]                       # [...,W]
+    x = _searchsorted_rows(cond, u_col * row_sum)
+    x = jnp.clip(x, 0, w - 1)
+
+    # Spherical direction at texel center-ish (reference uses texel corner,
+    # u=x/W, v=y/H — replicated: render_kernel.cpp:576-579)
+    u = x.astype(jnp.float32) / w
+    v = y.astype(jnp.float32) / h
+    phi = u * 2.0 * jnp.pi
+    theta = v * jnp.pi
+    sin_t = jnp.sin(theta)
+    cos_t = jnp.cos(theta)
+    direction = jnp.stack(
+        [-sin_t * jnp.cos(phi), -cos_t, -sin_t * jnp.sin(phi)], axis=-1
+    )
+
+    radiance = sampler.image[y, x]
+    pdf = pdf_of_texel(sampler, x, y, sin_t)
+    return direction, radiance, pdf, sin_t
+
+
+def _searchsorted_rows(cdf_rows, values):
+    """Per-row searchsorted: cdf_rows [...,W], values [...] -> idx [...]."""
+    return jnp.sum(cdf_rows <= values[..., None], axis=-1).astype(jnp.int32)
+
+
+def pdf_of_texel(sampler: EnvMapSampler, x, y, sin_theta):
+    """Solid-angle pdf of picking texel (x,y):
+    (lum/total) * W*H / (2 pi^2 sin(theta)) (render_kernel.cpp:594-595)."""
+    h, w = sampler.image.shape[0], sampler.image.shape[1]
+    lum = jax.lax.stop_gradient(luminance(sampler.image[y, x]))
+    pdf = (lum / sampler.total) * (w * h)
+    return pdf / jnp.maximum(2.0 * jnp.pi * jnp.pi * sin_theta, 1e-8)
+
+
+def pdf_of_direction(sampler: EnvMapSampler, direction):
+    """pdf of a given world direction under luminance sampling, for MIS of
+    BRDF-sampled env rays (reference render_kernel.cpp:617-623).
+
+    NOTE: the reference computes sin(theta) there from acos(dir.z) — using the
+    *z* component even though its mapping uses y as the polar axis
+    (render_kernel.cpp:618).  We use the actual polar angle (y axis) so the
+    two MIS pdf evaluations are consistent with each other.
+    """
+    x, y = texel_coords_of_direction(
+        (sampler.image.shape[0], sampler.image.shape[1]), direction
+    )
+    sin_theta = jnp.sqrt(jnp.maximum(1.0 - direction[..., 1] ** 2, 1e-12))
+    return pdf_of_texel(sampler, x, y, sin_theta)

@@ -1,0 +1,163 @@
+"""Ray/primitive intersection: vectorized Möller–Trumbore and sphere quadric,
+plus the brute-force all-primitives scene intersector.
+
+The brute-force intersector is the *oracle*: it reproduces the reference's
+``intersect_scene`` (render_kernel.cpp:453-483) and serves as ground truth for
+the BVH traversal tests — the TPU generalization of the reference's recorded
+golden-ray suites (include/bvh_tests.h).
+
+Design notes (TPU): rays [R,3] against triangles [N,3,3] is evaluated as a
+dense [R,N] elementwise problem — pure VPU work with a masked argmin reduce,
+no per-ray control flow.  For big scenes the BVH traversal (ops/bvh.py)
+replaces the O(R*N) oracle.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from sycl_ray_tracing_tpu.ops.safe_math import EPS, cross, dot, normalize, safe_sqrt
+
+BIG_T = 3.0e38  # sentinel "no hit" distance
+
+
+class Hit(NamedTuple):
+    """SoA hit record for a batch of rays (reference hit_info.h:6-15)."""
+
+    t: jnp.ndarray        # [R] distance, BIG_T if miss
+    point: jnp.ndarray    # [R,3]
+    normal: jnp.ndarray   # [R,3] geometric normal
+    uv: jnp.ndarray       # [R,2] barycentrics
+    prim: jnp.ndarray     # [R] primitive index (triangles first, then spheres)
+    hit: jnp.ndarray      # [R] bool
+
+
+def moller_trumbore(
+    ray_o: jnp.ndarray,  # [R,3]
+    ray_d: jnp.ndarray,  # [R,3]
+    tri: jnp.ndarray,    # [...,3,3] — broadcast against rays
+):
+    """Möller–Trumbore with the reference's epsilon rules (triangle.h:16-60).
+
+    Returns (t, u, v, valid) broadcast over [R, ...].  ``t`` is BIG_T where
+    invalid so a plain min-reduce finds the closest hit.
+    """
+    va = tri[..., 0, :]
+    e1 = tri[..., 1, :] - va
+    e2 = tri[..., 2, :] - va
+
+    h = cross(ray_d, e2)
+    a = dot(e1, h)
+    parallel = jnp.abs(a) < EPS
+    f = 1.0 / jnp.where(parallel, 1.0, a)
+
+    s = ray_o - va
+    u = f * dot(s, h)
+    q = cross(s, e1)
+    v = f * dot(ray_d, q)
+    t = f * dot(e2, q)
+
+    valid = (
+        (~parallel)
+        & (u >= 0.0)
+        & (u <= 1.0)
+        & (v >= 0.0)
+        & (u + v <= 1.0)
+        & (t > EPS)
+    )
+    return jnp.where(valid, t, BIG_T), u, v, valid
+
+
+def intersect_triangles(ray_o, ray_d, tris):
+    """Closest-hit of rays [R,3] against ALL triangles [N,3,3] → Hit.
+
+    Dense [R,N] evaluation; closest hit via argmin over N.
+    """
+    t, _, _, _ = moller_trumbore(ray_o[:, None, :], ray_d[:, None, :], tris[None])
+    best = jnp.argmin(t, axis=1)                      # [R]
+    best_t = jnp.take_along_axis(t, best[:, None], axis=1)[:, 0]
+    return _finalize_tri_hit(ray_o, ray_d, tris, best, best_t)
+
+
+def _finalize_tri_hit(ray_o, ray_d, tris, best, best_t):
+    """Recompute the full hit record for the winning triangle only."""
+    tri = tris[best]                                  # [R,3,3]
+    t, u, v, valid = moller_trumbore(ray_o, ray_d, tri)
+    hit = best_t < BIG_T
+    # miss lanes keep point = origin: o + d*BIG_T overflows float32 to inf,
+    # and inf/NaN in masked lanes poisons gradients (0 * NaN = NaN in VJPs)
+    point = ray_o + ray_d * jnp.where(hit, best_t, 0.0)[:, None]
+    e1 = tri[:, 1, :] - tri[:, 0, :]
+    e2 = tri[:, 2, :] - tri[:, 0, :]
+    normal = normalize(cross(e1, e2))
+    return Hit(
+        t=best_t,
+        point=point,
+        normal=normal,
+        uv=jnp.stack([u, v], axis=-1),
+        prim=best.astype(jnp.int32),
+        hit=hit,
+    )
+
+
+def intersect_spheres(ray_o, ray_d, centers, radii, prim_index):
+    """Closest-hit of rays [R,3] against spheres [S,3]/[S] → Hit.
+
+    Analytic quadratic with the reference's nearest-positive-root rule
+    (sphere.h:11-53).  ``prim_index`` [S] carries the sphere's global
+    primitive index for material lookup (sphere.h:49).
+    """
+    L = ray_o[:, None, :] - centers[None]             # [R,S,3]
+    b = 2.0 * dot(ray_d[:, None, :], L)
+    c = dot(L, L) - (radii * radii)[None]
+    delta = b * b - 4.0 * c
+    sq = safe_sqrt(jnp.maximum(delta, 0.0))
+    t1 = (-b - sq) * 0.5
+    t2 = (-b + sq) * 0.5
+    t = jnp.where(t1 > 0.0, t1, t2)                   # nearest positive root
+    valid = (delta >= 0.0) & (t > 0.0)
+    t = jnp.where(valid, t, BIG_T)                    # [R,S]
+
+    best = jnp.argmin(t, axis=1)
+    best_t = jnp.take_along_axis(t, best[:, None], axis=1)[:, 0]
+    hit = best_t < BIG_T
+    point = ray_o + ray_d * jnp.where(hit, best_t, 0.0)[:, None]
+    normal = normalize(point - centers[best])
+    return Hit(
+        t=best_t,
+        point=point,
+        normal=normal,
+        uv=jnp.zeros((ray_o.shape[0], 2), ray_o.dtype),
+        prim=prim_index[best].astype(jnp.int32),
+        hit=hit,
+    )
+
+
+def merge_hits(a: Hit, b: Hit) -> Hit:
+    """Elementwise closest-of-two hit records."""
+    take_a = a.t <= b.t
+    sel = lambda x, y: jnp.where(
+        take_a.reshape(take_a.shape + (1,) * (x.ndim - take_a.ndim)), x, y
+    )
+    return Hit(
+        t=jnp.where(take_a, a.t, b.t),
+        point=sel(a.point, b.point),
+        normal=sel(a.normal, b.normal),
+        uv=sel(a.uv, b.uv),
+        prim=jnp.where(take_a, a.prim, b.prim),
+        hit=a.hit | b.hit,
+    )
+
+
+def miss_hit(num_rays: int, dtype=jnp.float32) -> Hit:
+    """An all-miss Hit batch (identity for merge_hits)."""
+    return Hit(
+        t=jnp.full((num_rays,), BIG_T, dtype),
+        point=jnp.zeros((num_rays, 3), dtype),
+        normal=jnp.zeros((num_rays, 3), dtype),
+        uv=jnp.zeros((num_rays, 2), dtype),
+        prim=jnp.zeros((num_rays,), jnp.int32),
+        hit=jnp.zeros((num_rays,), bool),
+    )

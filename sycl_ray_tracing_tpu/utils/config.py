@@ -1,0 +1,66 @@
+"""Render configuration: one dataclass covering every reference flag.
+
+Replaces the reference's hand-rolled --key=value parsing (main.cpp:42-61) and
+its compile-time switches (USE_BVH render_kernel.h:13, camera preset
+main.cpp:107-111, DEBUG_PIXEL render_kernel.cpp:186-188) with runtime config.
+Defaults match the reference: 512x512, 64 spp, 8 bounces (main.cpp:32-40).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    width: int = 512
+    height: int = 512
+    samples: int = 64
+    bounces: int = 8
+    # intersection backend: "auto" (BVH if the scene has one), "brute", "bvh"
+    intersect: str = "auto"
+    # camera preset name (models.camera.PRESETS) — runtime, not compile-time
+    camera: str = "cornell"
+    # restrict render to one pixel for debugging (reference DEBUG_PIXEL)
+    debug_pixel: Optional[Tuple[int, int]] = None
+    # rays processed per wavefront batch; None = whole image at once
+    tile_rays: Optional[int] = None
+    # samples per scan step (accumulated in linear HDR)
+    samples_per_pass: int = 1
+
+    def __post_init__(self):
+        if self.intersect not in ("auto", "brute", "bvh"):
+            raise ValueError(f"bad intersect mode {self.intersect!r}")
+        if self.samples % self.samples_per_pass != 0:
+            raise ValueError("samples must be divisible by samples_per_pass")
+
+
+def parse_cli(argv) -> tuple[RenderConfig, str, str]:
+    """Parse reference-style CLI args (main.cpp:42-61).
+
+    Returns (config, obj_path, sky_path).  Flags: --sky=, --w=, --h=,
+    --samples=, --bounces=, plus new --camera=, --intersect=; a positional
+    argument is the OBJ path.
+    """
+    obj_path = "data/OBJs/cornell_pbr.obj"
+    sky_path = "data/Skyspheres/evening_road_01_puresky_2k.hdr"
+    kw = {}
+    for arg in argv:
+        if arg.startswith("--sky="):
+            sky_path = arg[len("--sky="):]
+        elif arg.startswith("--w="):
+            kw["width"] = int(arg[len("--w="):])
+        elif arg.startswith("--h="):
+            kw["height"] = int(arg[len("--h="):])
+        elif arg.startswith("--samples="):
+            kw["samples"] = int(arg[len("--samples="):])
+        elif arg.startswith("--bounces="):
+            kw["bounces"] = int(arg[len("--bounces="):])
+        elif arg.startswith("--camera="):
+            kw["camera"] = arg[len("--camera="):]
+        elif arg.startswith("--intersect="):
+            kw["intersect"] = arg[len("--intersect="):]
+        else:
+            obj_path = arg
+    return RenderConfig(**kw), obj_path, sky_path

@@ -1,0 +1,147 @@
+"""Differentiability: AD gradients vs finite differences at matched seeds —
+the BASELINE.json gradient-correctness metric (pixel gradients w.r.t.
+material roughness/metalness/albedo, env-map texels, camera pose)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sycl_ray_tracing_tpu.models import pathtracer
+from sycl_ray_tracing_tpu.models.camera import Camera, cornell_box_camera
+from sycl_ray_tracing_tpu.ops import transform as T
+from sycl_ray_tracing_tpu.utils.config import RenderConfig
+
+CFG = RenderConfig(width=12, height=12, samples=4, bounces=2)
+
+
+def _render_mean(scene, cam, key):
+    """Scalar probe: mean of a small render (smooth function of params)."""
+    W, H = CFG.width, CFG.height
+    ys, xs = jnp.meshgrid(
+        jnp.arange(H, dtype=jnp.float32),
+        jnp.arange(W, dtype=jnp.float32),
+        indexing="ij",
+    )
+    hdr = pathtracer.render_rays(
+        scene, cam, xs.reshape(-1), ys.reshape(-1), W, H, key,
+        CFG.samples, CFG.bounces,
+    )
+    return jnp.mean(hdr)
+
+
+def _fd_vs_ad(param_to_scalar, x0, eps, rtol, atol=1e-6):
+    """Central finite difference vs jax.grad on the SAME traced program."""
+    g_ad = float(jax.grad(param_to_scalar)(x0))
+    f_p = float(param_to_scalar(x0 + eps))
+    f_m = float(param_to_scalar(x0 - eps))
+    g_fd = (f_p - f_m) / (2 * eps)
+    assert np.isfinite(g_ad), "AD gradient not finite"
+    np.testing.assert_allclose(g_ad, g_fd, rtol=rtol, atol=atol)
+    return g_ad
+
+
+@pytest.fixture(scope="module")
+def key():
+    return jax.random.PRNGKey(123)
+
+
+def test_grad_roughness(cornell_scene, key):
+    cam = cornell_box_camera()
+    mats = cornell_scene.materials
+
+    def f(r_shift):
+        # multiplicative shift: keeps FD symmetric (an additive shift with a
+        # clip is one-sided for materials sitting exactly at the clamp)
+        new = dataclasses.replace(mats, roughness=mats.roughness * (1.0 + r_shift))
+        return _render_mean(cornell_scene.with_materials(new), cam, key)
+
+    g = _fd_vs_ad(f, jnp.float32(0.0), 2e-3, rtol=2e-2, atol=5e-4)
+    assert g != 0.0
+
+
+def test_grad_albedo(cornell_scene, key):
+    cam = cornell_box_camera()
+    mats = cornell_scene.materials
+
+    def f(shift):
+        new = dataclasses.replace(mats, diffuse=mats.diffuse * (1.0 + shift))
+        return _render_mean(cornell_scene.with_materials(new), cam, key)
+
+    g = _fd_vs_ad(f, jnp.float32(0.0), 1e-3, rtol=1e-2)
+    assert g > 0.0  # brighter albedo -> brighter image
+
+
+def test_grad_emission(cornell_scene, key):
+    cam = cornell_box_camera()
+    mats = cornell_scene.materials
+
+    def f(shift):
+        new = dataclasses.replace(
+            mats, emission=mats.emission * (1.0 + shift)
+        )
+        return _render_mean(cornell_scene.with_materials(new), cam, key)
+
+    g = _fd_vs_ad(f, jnp.float32(0.0), 1e-3, rtol=1e-2)
+    assert g > 0.0
+
+
+def test_grad_metalness(cornell_scene, key):
+    cam = cornell_box_camera()
+    mats = cornell_scene.materials
+
+    def f(shift):
+        new = dataclasses.replace(
+            mats, metalness=jnp.clip(mats.metalness + shift, 0.0, 1.0)
+        )
+        return _render_mean(cornell_scene.with_materials(new), cam, key)
+
+    # metalness clamp makes this one-sided for the metal box; use pure shift
+    def f2(shift):
+        new = dataclasses.replace(mats, metalness=mats.metalness * (1 + shift))
+        return _render_mean(cornell_scene.with_materials(new), cam, key)
+
+    _fd_vs_ad(f2, jnp.float32(0.0), 2e-3, rtol=5e-2, atol=5e-4)
+
+
+def test_grad_env_texels(cornell_scene, test_env_map, key):
+    cam = cornell_box_camera()
+    base = jnp.asarray(test_env_map)
+
+    def f(scale):
+        scene = cornell_scene.with_env_map(base * (1.0 + scale))
+        return _render_mean(scene, cam, key)
+
+    g = _fd_vs_ad(f, jnp.float32(0.0), 1e-3, rtol=2e-2)
+    assert g > 0.0  # brighter sky -> brighter image
+
+
+def test_grad_camera_pose(cornell_scene, key):
+    """Gradient w.r.t. a camera translation parameter."""
+
+    def f(dz):
+        m = T.compose(T.translation(0.0, 1.0, 3.5 + dz),
+                      jnp.diag(jnp.array([1.0, 1.0, -1.0, 1.0])))
+        cam = Camera(view_matrix=m, fov_dist=jnp.float32(1.0 / np.tan(np.radians(22.5))))
+        return _render_mean(cornell_scene, cam, key)
+
+    # camera motion crosses visibility boundaries on some pixels; mean over
+    # few pixels is still smooth almost everywhere — use small eps
+    _fd_vs_ad(f, jnp.float32(0.0), 1e-3, rtol=0.1, atol=2e-3)
+
+
+def test_grad_is_nonzero_per_texel(cornell_scene, test_env_map, key):
+    """Per-texel env gradients: scattered, finite, and non-negative for an
+    L1 brightness probe."""
+    cam = cornell_box_camera()
+    base = jnp.asarray(test_env_map)
+
+    def f(img):
+        return _render_mean(cornell_scene.with_env_map(img), cam, key)
+
+    g = np.asarray(jax.grad(f)(base))
+    assert np.isfinite(g).all()
+    assert (g >= -1e-8).all()
+    assert (g > 0).any()

@@ -1,0 +1,140 @@
+"""Integrator correctness.
+
+The key statistical test: the MIS/NEE estimator and the naive
+BRDF-sampling-only estimator are both unbiased for the same integral, so at
+high sample counts their images must agree — this validates every MIS weight,
+pdf conversion and shadow-ray rule at once (the TPU generalization of the
+reference's golden-image eyeballing, README.md:6-13).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sycl_ray_tracing_tpu.models import pathtracer
+from sycl_ray_tracing_tpu.models.camera import cornell_box_camera
+from sycl_ray_tracing_tpu.utils.config import RenderConfig
+
+
+def _render(scene, cfg, key, nee=True):
+    cam = cornell_box_camera()
+    W, H = cfg.width, cfg.height
+    ys, xs = jnp.meshgrid(
+        jnp.arange(H, dtype=jnp.float32),
+        jnp.arange(W, dtype=jnp.float32),
+        indexing="ij",
+    )
+    hdr = pathtracer.render_rays(
+        scene, cam, xs.reshape(-1), ys.reshape(-1), W, H, key,
+        cfg.samples, cfg.bounces, cfg.intersect, nee,
+    )
+    return hdr.reshape(H, W, 3)
+
+
+def test_cornell_render_sane(cornell_scene, rng_key):
+    cfg = RenderConfig(width=32, height=32, samples=8, bounces=3)
+    img = np.asarray(_render(cornell_scene, cfg, rng_key))
+    assert img.shape == (32, 32, 3)
+    assert np.isfinite(img).all()
+    assert (img >= 0).all()
+    assert img.mean() > 0.05  # scene is lit
+
+
+def test_light_visible_and_walls_colored(cornell_scene, rng_key):
+    cfg = RenderConfig(width=48, height=48, samples=16, bounces=2)
+    img = np.asarray(_render(cornell_scene, cfg, rng_key))
+    # ceiling light (emission 100) must appear in the top rows of the frame
+    # (row 0 = bottom)
+    assert img.max() > 50.0
+    bright_rows = np.argwhere(img.max(axis=(1, 2)) > 50.0)[:, 0]
+    assert bright_rows.min() > 24, "light should be in the upper half"
+    # left third redder than green, right third greener than red (color bleed)
+    left = img[10:38, :16]
+    right = img[10:38, 32:]
+    assert left[..., 0].mean() > left[..., 1].mean()
+    assert right[..., 1].mean() > right[..., 0].mean()
+
+
+def test_deterministic_same_key(cornell_scene, rng_key):
+    cfg = RenderConfig(width=16, height=16, samples=2, bounces=2)
+    a = np.asarray(_render(cornell_scene, cfg, rng_key))
+    b = np.asarray(_render(cornell_scene, cfg, rng_key))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_different_keys_differ(cornell_scene):
+    cfg = RenderConfig(width=16, height=16, samples=2, bounces=2)
+    a = np.asarray(_render(cornell_scene, cfg, jax.random.PRNGKey(0)))
+    b = np.asarray(_render(cornell_scene, cfg, jax.random.PRNGKey(1)))
+    assert np.abs(a - b).max() > 1e-4
+
+
+@pytest.mark.slow
+def test_mis_nee_matches_naive_estimator(cornell_scene):
+    """MIS+NEE and naive BRDF-sampling must converge to the same image.
+
+    Path-length support: NEE at bounce i adds light paths of i+2 segments,
+    so nee(bounces=B) covers paths up to B+1 segments — compare against
+    naive(bounces=B+1) which covers the same set.
+
+    Materials are clamped to roughness >= 0.4: cornell's near-specular
+    dielectric walls (roughness 0.01, metalness 0) make the naive
+    estimator's diffuse-transport variance astronomically large (the GGX
+    NDF sampler — the reference's design — practically never samples the
+    diffuse lobe), so a finite-spp cross-check is only meaningful on
+    moderately rough materials.
+    """
+    import dataclasses as _dc
+
+    mats = cornell_scene.materials
+    rough = _dc.replace(mats, roughness=jnp.maximum(mats.roughness, 0.4))
+    scene = cornell_scene.with_materials(rough)
+    cfg_nee = RenderConfig(width=24, height=24, samples=96, bounces=3)
+    cfg_naive = RenderConfig(width=24, height=24, samples=768, bounces=4)
+    img_nee = np.asarray(
+        _render(scene, cfg_nee, jax.random.PRNGKey(5), nee=True)
+    )
+    img_naive = np.asarray(
+        _render(scene, cfg_naive, jax.random.PRNGKey(9), nee=False)
+    )
+    # the naive estimator's per-pixel variance at feasible spp is large
+    # (small bright light); compare 6x6 block means and the global mean,
+    # excluding direct-light pixels where both have huge variance
+    def blocks(x):
+        m = np.where(x < 5.0, x, 0.0)
+        return m.reshape(4, 6, 4, 6, 3).mean(axis=(1, 3))
+
+    a, b = blocks(img_nee), blocks(img_naive)
+    rel = np.abs(a - b) / (a + b + 0.05)
+    assert rel.mean() < 0.10, (rel.mean(), a.mean(), b.mean())
+    ga, gb = a.mean(), b.mean()
+    assert abs(ga - gb) / (ga + gb) < 0.05, (ga, gb)
+
+
+def test_bounces_add_energy(cornell_scene, rng_key):
+    """More bounces => more light (indirect illumination accumulates)."""
+    cfg1 = RenderConfig(width=24, height=24, samples=32, bounces=1)
+    cfg3 = RenderConfig(width=24, height=24, samples=32, bounces=4)
+    m1 = np.asarray(_render(cornell_scene, cfg1, rng_key)).mean()
+    m3 = np.asarray(_render(cornell_scene, cfg3, rng_key)).mean()
+    assert m3 > m1 * 1.05
+
+
+def test_debug_pixel_mode(cornell_scene, rng_key):
+    cfg = RenderConfig(
+        width=32, height=32, samples=4, bounces=2, debug_pixel=(16, 16)
+    )
+    cam = cornell_box_camera()
+    img = pathtracer.render(cornell_scene, cam, cfg, rng_key)
+    assert img.shape == (1, 1, 3)
+    assert np.isfinite(np.asarray(img)).all()
+
+
+def test_env_map_lights_scene(cornell_scene, test_env_map, rng_key):
+    """Adding an env map adds energy through the cornell box's open side."""
+    lit = cornell_scene.with_env_map(jnp.asarray(test_env_map))
+    cfg = RenderConfig(width=24, height=24, samples=8, bounces=2)
+    base = np.asarray(_render(cornell_scene, cfg, rng_key)).mean()
+    with_env = np.asarray(_render(lit, cfg, rng_key)).mean()
+    assert with_env > base
