@@ -37,9 +37,34 @@ class EnvMapSampler(NamedTuple):
     total: jnp.ndarray        # [] total luminance
 
 
-def build_sampler(image: jnp.ndarray) -> EnvMapSampler:
+def build_sampler(image) -> EnvMapSampler:
     """Build separable CDF tables.  The tables are detached — sampling
-    *locations* carry no gradient, texel radiance does."""
+    *locations* carry no gradient, texel radiance does.
+
+    Concrete (non-traced) inputs take a pure-numpy path: building the CDF
+    eagerly on an accelerator dispatches many tiny ops, which is painfully
+    slow over a remote-compile TPU tunnel (~minutes); inside jit the jnp
+    path fuses into the surrounding computation as usual.
+    """
+    import numpy as np
+
+    if not isinstance(image, jax.core.Tracer):
+        img_np = np.asarray(image, np.float32)
+        lum = (
+            0.3086 * img_np[..., 0]
+            + 0.6094 * img_np[..., 1]
+            + 0.0820 * img_np[..., 2]
+        )
+        cond_cdf = np.cumsum(lum, axis=1, dtype=np.float32)
+        row_cdf = np.cumsum(cond_cdf[:, -1], dtype=np.float32)
+        total = np.maximum(row_cdf[-1], 1e-12)
+        return EnvMapSampler(
+            image=jnp.asarray(img_np),
+            row_cdf=jnp.asarray(row_cdf),
+            cond_cdf=jnp.asarray(cond_cdf),
+            total=jnp.asarray(total, jnp.float32),
+        )
+
     lum = jax.lax.stop_gradient(luminance(image))             # [H,W]
     cond_cdf = jnp.cumsum(lum, axis=1)                        # [H,W]
     row_sums = cond_cdf[:, -1]                                # [H]
