@@ -87,9 +87,35 @@ def intersect_scene(scene: Scene, ray_o, ray_d, backend: str = "auto") -> Hit:
     return hit
 
 
-def occluded(scene: Scene, ray_o, ray_d, t_max, backend: str = "auto"):
+def occluded(scene: Scene, ray_o, ray_d, t_max=None, backend: str = "auto"):
     """Shadow-ray test with the reference's t_max - 1e-4 slack
-    (evaluate_shadow_ray, render_kernel.cpp:744-759)."""
+    (evaluate_shadow_ray, render_kernel.cpp:744-759).  ``t_max=None`` means
+    "blocked at any distance" (env-map MIS rays).  Uses the cheap any-hit
+    BVH walk when available — shadow rays don't need the closest hit."""
+    from sycl_ray_tracing_tpu.ops.intersect import BIG_T as _BIG
+
+    if t_max is None:
+        t_max = jnp.full(ray_o.shape[:1], _BIG, ray_o.dtype)
+    if backend == "auto":
+        backend = "bvh" if scene.bvh is not None else "brute"
+    if backend == "bvh":
+        from sycl_ray_tracing_tpu.ops.bvh import any_hit
+
+        blocked = any_hit(
+            scene.bvh,
+            jax.lax.stop_gradient(ray_o),
+            jax.lax.stop_gradient(ray_d),
+            jax.lax.stop_gradient(t_max),
+        )
+        if scene.num_spheres > 0:
+            n = scene.num_triangles
+            sphere_prim = n + jnp.arange(scene.num_spheres, dtype=jnp.int32)
+            s_hit = intersect_spheres(
+                ray_o, ray_d, scene.sphere_centers, scene.sphere_radii,
+                sphere_prim,
+            )
+            blocked = blocked | (s_hit.hit & (s_hit.t + 1e-4 < t_max))
+        return blocked
     hit = intersect_scene(scene, ray_o, ray_d, backend)
     return hit.hit & (hit.t + 1e-4 < t_max)
 
@@ -210,7 +236,7 @@ def _sample_env_nee(scene, backend, hit, view, diffuse, metal, rough, key, bounc
     wi, env_rad, env_pdf, _ = env_ops.sample(sampler, u[:, 0], u[:, 1])
     cos_term = dot(hit.normal, wi)
     origin = hit.point + hit.normal * RAY_OFFSET
-    blocked = intersect_scene(scene, origin, wi, backend).hit
+    blocked = occluded(scene, origin, wi, None, backend)
     brdf = cook_torrance_eval(diffuse, metal, rough, wi, view, hit.normal)
     brdf_pdf = cook_torrance_pdf(rough, view, wi, hit.normal)
     mis_w = power_heuristic(env_pdf, brdf_pdf)
@@ -227,7 +253,7 @@ def _sample_env_nee(scene, backend, hit, view, diffuse, metal, rough, key, bounc
     )
     cos_s = jnp.maximum(0.0, dot(hit.normal, wi_s))
     origin_s = hit.point + hit.normal * 1e-5  # reference offset (:615)
-    blocked_s = intersect_scene(scene, origin_s, wi_s, backend).hit
+    blocked_s = occluded(scene, origin_s, wi_s, None, backend)
     env_rad_s = env_ops.eval_direction(sampler.image, wi_s)
     env_pdf_s = env_ops.pdf_of_direction(sampler, wi_s)
     mis_w_s = power_heuristic(pdf_s, env_pdf_s)

@@ -8,12 +8,19 @@ TPU-first replacement for the reference's acceleration structures:
   * layout: one flat SoA node array in DFS preorder — the capability target
     is the reference's FlattenedBVH (flattened_bvh.h:25-39) but with AABBs
     instead of 7-plane k-DOPs (bounding_volume.h) and with *skip links*
-    instead of a 100k-entry traversal stack (bvh_constants.h:6)
+    instead of a 100k-entry traversal stack (bvh_constants.h:6).
+    Node data is PACKED: one [M,8] f32 row (aabb min/max) and one [M,4] i32
+    row (first,count,skip) per node, so each traversal step is two
+    contiguous row-gathers.  Leaf triangles are pre-gathered into Morton
+    order ([N,3,3] rows contiguous per leaf) so leaf tests gather
+    consecutive rows.
   * traversal: every ray carries ONE integer (current node).  Box hit on an
     internal node -> descend (node+1); miss or finished leaf -> skip link.
     All rays march in lockstep under ``lax.while_loop`` with masks — no
     per-lane stacks, no divergence, pure gather+VPU work, which is what maps
-    onto TPU vector units.
+    onto TPU vector units.  A separate ``any_hit`` walk serves shadow rays
+    (reference evaluate_shadow_ray, render_kernel.cpp:744-759): rays retire
+    the moment any occluder is found.
   * the traversal (discrete argmin) runs under stop_gradient; the winning
     primitive's hit record is then *recomputed differentiably*, so camera /
     geometry gradients flow exactly like the brute-force oracle's.
@@ -35,28 +42,23 @@ import numpy as np
 from sycl_ray_tracing_tpu.ops.intersect import BIG_T, Hit, _finalize_tri_hit
 from sycl_ray_tracing_tpu.ops.safe_math import EPS
 
+SHADOW_EPS = 1e-4  # reference t_max slack (render_kernel.cpp:751)
+
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class ThreadedBVH:
-    """Flat threaded BVH (DFS preorder, skip links).
+    """Flat threaded BVH (DFS preorder, skip links), packed for gathers."""
 
-    M nodes; leaves reference contiguous ranges of ``tri_order``.
-    """
-
-    aabb_min: jnp.ndarray   # [M,3]
-    aabb_max: jnp.ndarray   # [M,3]
-    first: jnp.ndarray      # [M] leaf: start into tri_order; internal: 0
-    count: jnp.ndarray      # [M] leaf: #tris (may be 0 for padding); internal: -1
-    skip: jnp.ndarray       # [M] next DFS node after this subtree; M = end
-    tri_order: jnp.ndarray  # [N] permutation of triangle indices
-    leaf_size: int = dataclasses.field(
-        default=4, metadata=dict(static=True)
-    )
+    nodes_box: jnp.ndarray   # [M,8] f32: min xyz, max xyz, 0, 0
+    nodes_meta: jnp.ndarray  # [M,4] i32: first, count (-1 internal), skip, 0
+    leaf_tris: jnp.ndarray   # [Np,3,3] f32 triangles in Morton order (padded)
+    tri_order: jnp.ndarray   # [Np] i32 original triangle index per slot
+    leaf_size: int = dataclasses.field(default=4, metadata=dict(static=True))
 
     @property
     def num_nodes(self) -> int:
-        return self.aabb_min.shape[0]
+        return self.nodes_box.shape[0]
 
 
 def _morton3(x: np.ndarray) -> np.ndarray:
@@ -77,13 +79,39 @@ def _morton3(x: np.ndarray) -> np.ndarray:
     )
 
 
-def build_bvh(triangles: np.ndarray, leaf_size: int = 4) -> ThreadedBVH:
-    """Build a threaded BVH over triangles [N,3,3] (host-side, numpy).
+def build_bvh(triangles: np.ndarray, leaf_size: int = 4,
+              method: str = "auto") -> ThreadedBVH:
+    """Build a threaded BVH over triangles [N,3,3] (host-side).
 
-    Morton-sort + balanced index-range tree: O(N log N), fully vectorized —
-    every level's AABBs are one reshape+min/max over the level below.
+    method:
+      * "sah"    — native C++ binned-SAH builder (native/bvh_builder.cpp);
+                   best tree quality, requires the compiled library
+      * "morton" — numpy Morton-sort + balanced index-range tree: O(N log N),
+                   fully vectorized (every level's AABBs are one
+                   reshape+min/max over the level below)
+      * "auto"   — SAH if the native library is available, else Morton
     """
     tris = np.asarray(triangles, np.float32)
+    if method not in ("auto", "sah", "morton"):
+        raise ValueError(f"bad build method {method!r}")
+    if method in ("auto", "sah"):
+        from sycl_ray_tracing_tpu import native
+
+        packed = native.sah_build(tris, leaf_size)
+        if packed is not None:
+            nodes_box, nodes_meta, slot_order = packed
+            return ThreadedBVH(
+                nodes_box=jnp.asarray(nodes_box),
+                nodes_meta=jnp.asarray(nodes_meta),
+                leaf_tris=jnp.asarray(tris[slot_order]),
+                tri_order=jnp.asarray(slot_order),
+                leaf_size=leaf_size,
+            )
+        if method == "sah":
+            raise RuntimeError(
+                "native SAH builder unavailable — run "
+                "`make -C sycl_ray_tracing_tpu/native`"
+            )
     n = tris.shape[0]
     tmin = tris.min(axis=1)  # [N,3]
     tmax = tris.max(axis=1)
@@ -98,13 +126,16 @@ def build_bvh(triangles: np.ndarray, leaf_size: int = 4) -> ThreadedBVH:
     k = 1 << depth                            # padded leaf count
     m = 2 * k - 1                             # total nodes
 
-    # leaf AABBs over sorted ranges (padded with empty boxes)
-    smin = tmin[order]
-    smax = tmax[order]
+    # triangles in Morton order, padded with degenerate (all-zero) triangles
     pad = k * leaf_size - n
+    leaf_tris = np.concatenate(
+        [tris[order], np.zeros((pad, 3, 3), np.float32)]
+    )
+    tri_order_padded = np.concatenate([order, np.zeros((pad,), np.int32)])
+
     big = np.float32(3e38)
-    smin = np.concatenate([smin, np.full((pad, 3), big, np.float32)])
-    smax = np.concatenate([smax, np.full((pad, 3), -big, np.float32)])
+    smin = np.concatenate([tmin[order], np.full((pad, 3), big, np.float32)])
+    smax = np.concatenate([tmax[order], np.full((pad, 3), -big, np.float32)])
     leaf_min = smin.reshape(k, leaf_size, 3).min(axis=1)   # [K,3]
     leaf_max = smax.reshape(k, leaf_size, 3).max(axis=1)
 
@@ -112,68 +143,70 @@ def build_bvh(triangles: np.ndarray, leaf_size: int = 4) -> ThreadedBVH:
     mins = [leaf_min]
     maxs = [leaf_max]
     while mins[-1].shape[0] > 1:
-        a = mins[-1].reshape(-1, 2, 3)
-        b = maxs[-1].reshape(-1, 2, 3)
-        mins.append(a.min(axis=1))
-        maxs.append(b.max(axis=1))
+        mins.append(mins[-1].reshape(-1, 2, 3).min(axis=1))
+        maxs.append(maxs[-1].reshape(-1, 2, 3).max(axis=1))
     mins = mins[::-1]  # mins[d]: level d (root = level 0)
     maxs = maxs[::-1]
 
-    # DFS preorder positions, level by level.
-    # subtree size at level d: S(d) = 2^(depth-d+1) - 1
-    aabb_min = np.zeros((m, 3), np.float32)
-    aabb_max = np.zeros((m, 3), np.float32)
-    first = np.zeros((m,), np.int32)
-    count = np.full((m,), -1, np.int32)
-    skip = np.zeros((m,), np.int32)
+    nodes_box = np.zeros((m, 8), np.float32)
+    nodes_meta = np.zeros((m, 4), np.int32)
+    nodes_meta[:, 1] = -1  # internal by default
 
+    # DFS preorder positions level by level; subtree size at level d is
+    # S(d) = 2^(depth-d+1) - 1
     pos = np.zeros((1,), np.int64)  # root at 0
     for d in range(depth + 1):
-        s = (1 << (depth - d + 1)) - 1       # size of a subtree rooted here
-        aabb_min[pos] = mins[d]
-        aabb_max[pos] = maxs[d]
-        skip[pos] = pos + s
-        if d == depth:                        # leaves
+        s = (1 << (depth - d + 1)) - 1
+        nodes_box[pos, 0:3] = mins[d]
+        nodes_box[pos, 3:6] = maxs[d]
+        nodes_meta[pos, 2] = pos + s  # skip link
+        if d == depth:                # leaves
             leaf_ids = np.arange(k, dtype=np.int64)
-            first[pos] = (leaf_ids * leaf_size).astype(np.int32)
-            count[pos] = np.clip(n - leaf_ids * leaf_size, 0, leaf_size).astype(
-                np.int32
-            )
+            nodes_meta[pos, 0] = (leaf_ids * leaf_size).astype(np.int32)
+            nodes_meta[pos, 1] = np.clip(
+                n - leaf_ids * leaf_size, 0, leaf_size
+            ).astype(np.int32)
         else:
             child_s = (1 << (depth - d)) - 1
-            left = pos + 1
-            right = pos + 1 + child_s
-            pos = np.stack([left, right], axis=1).reshape(-1)
+            pos = np.stack([pos + 1, pos + 1 + child_s], axis=1).reshape(-1)
 
     return ThreadedBVH(
-        aabb_min=jnp.asarray(aabb_min),
-        aabb_max=jnp.asarray(aabb_max),
-        first=jnp.asarray(first),
-        count=jnp.asarray(count),
-        skip=jnp.asarray(skip),
-        tri_order=jnp.asarray(order),
+        nodes_box=jnp.asarray(nodes_box),
+        nodes_meta=jnp.asarray(nodes_meta),
+        leaf_tris=jnp.asarray(leaf_tris),
+        tri_order=jnp.asarray(tri_order_padded),
         leaf_size=leaf_size,
     )
 
 
-def _slab_test(bmin, bmax, o, inv_d, t_best):
-    """Ray/AABB slab test bounded by the current best hit distance."""
-    t0 = (bmin - o) * inv_d
-    t1 = (bmax - o) * inv_d
+def _inv_dir(ray_d):
+    """Robust finite inverse direction (no inf*0 NaNs in the slab test)."""
+    sign = jnp.where(ray_d < 0, -1.0, 1.0)
+    return sign / jnp.maximum(jnp.abs(ray_d), 1e-30)
+
+
+def _slab_test(box, o, inv_d, t_limit):
+    """Ray/AABB slab test bounded above by t_limit.  box: [B,8]."""
+    t0 = (box[:, 0:3] - o) * inv_d
+    t1 = (box[:, 3:6] - o) * inv_d
     tnear = jnp.max(jnp.minimum(t0, t1), axis=-1)
     tfar = jnp.min(jnp.maximum(t0, t1), axis=-1)
-    return (tnear <= tfar) & (tfar > EPS) & (tnear < t_best)
+    return (tnear <= tfar) & (tfar > EPS) & (tnear < t_limit)
 
 
-def _leaf_intersect(tris, tri_order, first, count, leaf_size, o, d, best_t, best_prim):
-    """Test up to ``leaf_size`` triangles of each ray's current leaf."""
-    lane = jnp.arange(leaf_size, dtype=jnp.int32)            # [L]
+def _leaf_mt(bvh: ThreadedBVH, first, count, o, d):
+    """Möller–Trumbore on each ray's current leaf slots.
+
+    Returns (t [B,L] with BIG_T fills, slot [B,L] global slot index).
+    """
+    L = bvh.leaf_size
+    lane = jnp.arange(L, dtype=jnp.int32)
     slot = first[:, None] + lane[None, :]                    # [B,L]
-    n = tri_order.shape[0]
-    tri_idx = tri_order[jnp.clip(slot, 0, n - 1)]            # [B,L]
+    np_slots = bvh.leaf_tris.shape[0]
+    slot_c = jnp.clip(slot, 0, np_slots - 1)
+    tri = bvh.leaf_tris[slot_c]                              # [B,L,3,3]
     valid_slot = lane[None, :] < count[:, None]
 
-    tri = tris[tri_idx]                                      # [B,L,3,3]
     va = tri[..., 0, :]
     e1 = tri[..., 1, :] - va
     e2 = tri[..., 2, :] - va
@@ -197,65 +230,101 @@ def _leaf_intersect(tris, tri_order, first, count, leaf_size, o, d, best_t, best
         & (u + v <= 1.0)
         & (t > EPS)
     )
-    t = jnp.where(ok, t, BIG_T)                              # [B,L]
-    lane_best = jnp.argmin(t, axis=1)                        # [B]
-    lane_t = jnp.take_along_axis(t, lane_best[:, None], axis=1)[:, 0]
-    lane_prim = jnp.take_along_axis(tri_idx, lane_best[:, None], axis=1)[:, 0]
-    better = lane_t < best_t
-    return (
-        jnp.where(better, lane_t, best_t),
-        jnp.where(better, lane_prim, best_prim),
-    )
+    return jnp.where(ok, t, BIG_T), slot_c
 
 
-def closest_prim(bvh: ThreadedBVH, tris, ray_o, ray_d):
+def closest_prim(bvh: ThreadedBVH, ray_o, ray_d):
     """Lockstep threaded traversal.  Returns (best_t [B], best_prim [B];
-    prim = -1 on miss).  Non-differentiable (discrete search)."""
-    leaf_size = bvh.leaf_size
+    prim = -1 on miss, in ORIGINAL triangle indexing).
+    Non-differentiable (discrete search)."""
     B = ray_o.shape[0]
     m = bvh.num_nodes
-
-    # robust finite inverse direction (no inf*0 NaNs in the slab test)
-    sign = jnp.where(ray_d < 0, -1.0, 1.0)
-    inv_d = sign / jnp.maximum(jnp.abs(ray_d), 1e-30)
+    inv_d = _inv_dir(ray_d)
 
     def cond(state):
         node, _, _ = state
         return jnp.any(node < m)
 
     def body(state):
-        node, best_t, best_prim = state
+        node, best_t, best_slot = state
         nc = jnp.clip(node, 0, m - 1)
-        bmin = bvh.aabb_min[nc]
-        bmax = bvh.aabb_max[nc]
-        cnt = bvh.count[nc]
-        first = bvh.first[nc]
-        skp = bvh.skip[nc]
+        box = bvh.nodes_box[nc]                              # [B,8]
+        meta = bvh.nodes_meta[nc]                            # [B,4]
+        first, cnt, skp = meta[:, 0], meta[:, 1], meta[:, 2]
         active = node < m
 
-        box_hit = _slab_test(bmin, bmax, ray_o, inv_d, best_t) & active
+        box_hit = _slab_test(box, ray_o, inv_d, best_t) & active
         is_leaf = cnt >= 0
-
         do_leaf = box_hit & is_leaf
-        lt, lp = _leaf_intersect(
-            tris, bvh.tri_order,
-            jnp.where(do_leaf, first, 0),
-            jnp.where(do_leaf, cnt, 0),
-            leaf_size, ray_o, ray_d, best_t, best_prim,
+
+        t, slot = _leaf_mt(
+            bvh, jnp.where(do_leaf, first, 0), jnp.where(do_leaf, cnt, 0),
+            ray_o, ray_d,
         )
-        best_t = jnp.where(do_leaf, lt, best_t)
-        best_prim = jnp.where(do_leaf, lp, best_prim)
+        lane_best = jnp.argmin(t, axis=1)
+        lane_t = jnp.take_along_axis(t, lane_best[:, None], axis=1)[:, 0]
+        lane_slot = jnp.take_along_axis(slot, lane_best[:, None], axis=1)[:, 0]
+        better = do_leaf & (lane_t < best_t)
+        best_t = jnp.where(better, lane_t, best_t)
+        best_slot = jnp.where(better, lane_slot, best_slot)
 
         descend = box_hit & (~is_leaf)
         nxt = jnp.where(descend, node + 1, skp)
         node = jnp.where(active, nxt, node)
-        return node, best_t, best_prim
+        return node, best_t, best_slot
 
     node0 = jnp.zeros((B,), jnp.int32)
     t0 = jnp.full((B,), BIG_T, jnp.float32)
-    p0 = jnp.full((B,), -1, jnp.int32)
-    _, best_t, best_prim = jax.lax.while_loop(cond, body, (node0, t0, p0))
+    s0 = jnp.full((B,), -1, jnp.int32)
+    _, best_t, best_slot = jax.lax.while_loop(cond, body, (node0, t0, s0))
+    best_prim = jnp.where(
+        best_slot >= 0, bvh.tri_order[jnp.maximum(best_slot, 0)], -1
+    )
     return best_t, best_prim
+
+
+def any_hit(bvh: ThreadedBVH, ray_o, ray_d, t_max):
+    """Occlusion walk: True where ANY triangle lies at t in
+    (EPS, t_max - SHADOW_EPS).  Rays retire as soon as a hit is found —
+    much cheaper than closest-hit for shadow rays.  t_max may be BIG_T
+    for miss-tests (env-map MIS rays).  Non-differentiable."""
+    B = ray_o.shape[0]
+    m = bvh.num_nodes
+    inv_d = _inv_dir(ray_d)
+    t_lim = t_max - SHADOW_EPS
+
+    def cond(state):
+        node, found = state
+        return jnp.any((node < m) & (~found))
+
+    def body(state):
+        node, found = state
+        nc = jnp.clip(node, 0, m - 1)
+        box = bvh.nodes_box[nc]
+        meta = bvh.nodes_meta[nc]
+        first, cnt, skp = meta[:, 0], meta[:, 1], meta[:, 2]
+        active = (node < m) & (~found)
+
+        box_hit = _slab_test(box, ray_o, inv_d, t_lim) & active
+        is_leaf = cnt >= 0
+        do_leaf = box_hit & is_leaf
+
+        t, _ = _leaf_mt(
+            bvh, jnp.where(do_leaf, first, 0), jnp.where(do_leaf, cnt, 0),
+            ray_o, ray_d,
+        )
+        hit_any = do_leaf & jnp.any(t < t_lim[:, None], axis=1)
+        found = found | hit_any
+
+        descend = box_hit & (~is_leaf)
+        nxt = jnp.where(descend, node + 1, skp)
+        node = jnp.where(active, nxt, node)
+        return node, found
+
+    node0 = jnp.zeros((B,), jnp.int32)
+    f0 = jnp.zeros((B,), bool)
+    _, found = jax.lax.while_loop(cond, body, (node0, f0))
+    return found
 
 
 def intersect_bvh(bvh: ThreadedBVH, tris, ray_o, ray_d) -> Hit:
@@ -267,7 +336,7 @@ def intersect_bvh(bvh: ThreadedBVH, tris, ray_o, ray_d) -> Hit:
     """
     o_ng = jax.lax.stop_gradient(ray_o)
     d_ng = jax.lax.stop_gradient(ray_d)
-    _, prim = closest_prim(bvh, jax.lax.stop_gradient(tris), o_ng, d_ng)
+    _, prim = closest_prim(bvh, o_ng, d_ng)
 
     safe_prim = jnp.maximum(prim, 0)
     from sycl_ray_tracing_tpu.ops.intersect import moller_trumbore

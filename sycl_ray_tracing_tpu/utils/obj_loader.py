@@ -78,8 +78,96 @@ def _parse_mtl(path: str):
     return materials
 
 
-def parse_obj(path: str) -> ParsedOBJ:
-    """Parse OBJ+MTL into flat SoA arrays (reference Utils::parse_obj)."""
+def _scan_mtllibs(path: str) -> List[str]:
+    """Collect mtllib paths referenced by an OBJ (cheap line scan)."""
+    base_dir = os.path.dirname(os.path.abspath(path))
+    libs = []
+    with open(path, "r", errors="replace") as f:
+        for line in f:
+            if line.startswith("mtllib"):
+                libs.append(os.path.join(base_dir, line[6:].strip()))
+    return libs
+
+
+def _material_table(mtl_materials: List[Dict]):
+    """Material SoA with the magenta debug material at row 0 and the
+    reference's clamp/illum rules (utils.cpp:73-95)."""
+    M = len(mtl_materials) + 1
+    emission = np.zeros((M, 3), np.float32)
+    diffuse = np.zeros((M, 3), np.float32)
+    metalness = np.zeros((M,), np.float32)
+    roughness = np.ones((M,), np.float32)
+    emission[0] = (1.0, 0.0, 1.0)
+    names = ["__default__"]
+    for i, m in enumerate(mtl_materials):
+        row = i + 1
+        emission[row] = m["Ke"]
+        diffuse[row] = m["Kd"]
+        if m["illum"] == 0:
+            metalness[row] = DEFAULT_METALNESS
+            roughness[row] = DEFAULT_ROUGHNESS
+        else:
+            metalness[row] = m["Pm"]
+            roughness[row] = max(1e-2, m["Pr"])
+        names.append(m["name"])
+    return emission, diffuse, metalness, roughness, names
+
+
+def _finalize(triangles, material_indices, table) -> ParsedOBJ:
+    emission, diffuse, metalness, roughness, names = table
+    tri_emission = emission[material_indices]
+    # the magenta debug material (row 0) is NOT a light source — the
+    # reference only collects triangles whose MTL has Ke>0 (utils.cpp:58-69)
+    is_light = (tri_emission > 0.0).any(axis=-1) & (material_indices > 0)
+    return ParsedOBJ(
+        triangles=np.ascontiguousarray(triangles, np.float32),
+        material_indices=material_indices,
+        emissive_indices=np.nonzero(is_light)[0].astype(np.int32),
+        emission=emission,
+        diffuse=diffuse,
+        metalness=metalness,
+        roughness=roughness,
+        material_names=names,
+    )
+
+
+def parse_obj_native(path: str) -> "ParsedOBJ | None":
+    """Fast path: C++ geometry parse (native/obj_parser.cpp) + python MTL
+    parse.  Returns None when the native library isn't built."""
+    from sycl_ray_tracing_tpu import native
+
+    geo = native.parse_obj_geometry(path)
+    if geo is None:
+        return None
+    triangles, mat_slots, slot_names = geo
+    mtl_materials: List[Dict] = []
+    name_to_id: Dict[str, int] = {}
+    for lib in _scan_mtllibs(path):
+        for m in _parse_mtl(lib):
+            name_to_id[m["name"]] = len(mtl_materials)
+            mtl_materials.append(m)
+    table = _material_table(mtl_materials)
+    # usemtl slot -> MTL declaration id -> +1 material row (0 = debug)
+    slot_to_row = np.array(
+        [name_to_id.get(n, -1) + 1 for n in slot_names] + [0], np.int32
+    )
+    material_indices = slot_to_row[
+        np.where(mat_slots >= 0, mat_slots, len(slot_names))
+    ]
+    return _finalize(triangles, material_indices, table)
+
+
+def parse_obj(path: str, use_native: bool = True) -> ParsedOBJ:
+    """Parse OBJ+MTL into flat SoA arrays (reference Utils::parse_obj).
+
+    Uses the C++ geometry parser when built (native/obj_parser.cpp);
+    pure-python fallback otherwise.  Both paths produce identical arrays
+    (tests/test_bvh.py::test_native_obj_parser_agrees).
+    """
+    if use_native:
+        parsed = parse_obj_native(path)
+        if parsed is not None:
+            return parsed
     positions: List[tuple] = []
     tri_vertex_ids: List[tuple] = []
     tri_materials: List[int] = []
@@ -123,44 +211,9 @@ def parse_obj(path: str) -> ParsedOBJ:
     vid = np.asarray(tri_vertex_ids, np.int64)             # [N,3]
     triangles = pos[vid]                                   # [N,3,3]
 
-    # material table: row 0 = magenta debug material (utils.cpp:75)
-    M = len(mtl_materials) + 1
-    emission = np.zeros((M, 3), np.float32)
-    diffuse = np.zeros((M, 3), np.float32)
-    metalness = np.zeros((M,), np.float32)
-    roughness = np.ones((M,), np.float32)
-    emission[0] = (1.0, 0.0, 1.0)
-    names = ["__default__"]
-    for i, m in enumerate(mtl_materials):
-        row = i + 1
-        emission[row] = m["Ke"]
-        diffuse[row] = m["Kd"]
-        if m["illum"] == 0:
-            # no OBJ-PBR extension: default roughness/metalness (utils.cpp:84-92)
-            metalness[row] = DEFAULT_METALNESS
-            roughness[row] = DEFAULT_ROUGHNESS
-        else:
-            metalness[row] = m["Pm"]
-            roughness[row] = max(1e-2, m["Pr"])            # clamp (utils.cpp:82)
-        names.append(m["name"])
-
+    table = _material_table(mtl_materials)
     material_indices = np.asarray(tri_materials, np.int32) + 1  # +1 offset
-    tri_emission = emission[material_indices]
-    # the magenta debug material (row 0) is NOT a light source — the
-    # reference only collects triangles whose MTL has Ke>0 (utils.cpp:58-69)
-    is_light = (tri_emission > 0.0).any(axis=-1) & (material_indices > 0)
-    emissive_indices = np.nonzero(is_light)[0].astype(np.int32)
-
-    return ParsedOBJ(
-        triangles=triangles,
-        material_indices=material_indices,
-        emissive_indices=emissive_indices,
-        emission=emission,
-        diffuse=diffuse,
-        metalness=metalness,
-        roughness=roughness,
-        material_names=names,
-    )
+    return _finalize(triangles, material_indices, table)
 
 
 def load_scene(obj_path: str, env_map_image=None):

@@ -63,7 +63,7 @@ def test_nine_triangle_depth_scene():
     o = jnp.array([[0.0, 0.0, 0.0]])
     d = jnp.array([[0.0, 0.0, -1.0]])
     bvh = build_bvh(np.asarray(tris), leaf_size=2)
-    t, prim = closest_prim(bvh, tris, o, d)
+    t, prim = closest_prim(bvh, o, d)
     assert abs(float(t[0]) - 2.0) < 1e-6
     assert int(prim[0]) == 0
 
@@ -109,7 +109,7 @@ def test_all_miss_rays():
     o = jnp.asarray(np.full((32, 3), 100.0, np.float32))
     d = jnp.tile(jnp.array([[1.0, 0.0, 0.0]], jnp.float32), (32, 1))
     bvh = build_bvh(np.asarray(tris))
-    t, prim = closest_prim(bvh, tris, o, d)
+    t, prim = closest_prim(bvh, o, d)
     assert (np.asarray(prim) == -1).all()
     assert (np.asarray(t) == np.float32(BIG_T)).all()
 
@@ -122,7 +122,7 @@ def test_axis_aligned_rays_no_nan():
     o = jnp.array([[0.0, 0.0, 0.0], [0.0, 0.0, 0.0], [0.0, 0.0, 0.0]])
     d = jnp.array([[0.0, 0.0, -1.0], [0.0, -1.0, 0.0], [1.0, 0.0, 0.0]])
     bvh = build_bvh(np.asarray(tris))
-    t, prim = closest_prim(bvh, tris, o, d)
+    t, prim = closest_prim(bvh, o, d)
     assert np.isfinite(np.asarray(t)[np.asarray(prim) >= 0]).all()
     assert int(prim[0]) == 0 and int(prim[1]) == -1 and int(prim[2]) == -1
 
@@ -137,3 +137,63 @@ def test_large_scene_traversal_visits_less_than_brute():
     tris = jnp.asarray(centers + offsets)
     o, d = _random_rays(256, rng, -12, 12)
     _check_agreement(tris, o, d)
+
+
+def test_any_hit_matches_oracle():
+    """any_hit == (closest hit exists with t + eps < t_max)."""
+    rng = np.random.default_rng(21)
+    tris = jnp.asarray(rng.uniform(-1, 1, (200, 3, 3)).astype(np.float32))
+    o, d = _random_rays(256, rng)
+    bvh = build_bvh(np.asarray(tris))
+    oracle = intersect_triangles(o, d, tris)
+    from sycl_ray_tracing_tpu.ops.bvh import any_hit
+
+    for tmax_val in (0.5, 2.0, 1e30):
+        t_max = jnp.full((256,), tmax_val, jnp.float32)
+        got = np.asarray(any_hit(bvh, o, d, t_max))
+        want = np.asarray(oracle.hit & (oracle.t + 1e-4 < t_max))
+        np.testing.assert_array_equal(got, want)
+
+
+def test_native_sah_builder_agrees():
+    """C++ binned-SAH build produces identical intersection results to both
+    the numpy Morton build and the brute-force oracle."""
+    from sycl_ray_tracing_tpu import native
+
+    if not native.available():
+        pytest.skip("native library not built")
+    rng = np.random.default_rng(33)
+    centers = rng.uniform(-5, 5, (2000, 1, 3)).astype(np.float32)
+    tris = jnp.asarray(
+        centers + rng.uniform(-0.1, 0.1, (2000, 3, 3)).astype(np.float32)
+    )
+    o, d = _random_rays(512, rng, -6, 6)
+    oracle = intersect_triangles(o, d, tris)
+    for method in ("sah", "morton"):
+        bvh = build_bvh(np.asarray(tris), method=method)
+        got = intersect_bvh(bvh, tris, o, d)
+        np.testing.assert_array_equal(
+            np.asarray(got.hit), np.asarray(oracle.hit), err_msg=method
+        )
+        m = np.asarray(oracle.hit)
+        np.testing.assert_allclose(
+            np.asarray(got.t)[m], np.asarray(oracle.t)[m], rtol=1e-5,
+            err_msg=method,
+        )
+
+
+def test_native_obj_parser_agrees():
+    """C++ OBJ geometry parser matches the python parser on cornell."""
+    from sycl_ray_tracing_tpu import native
+
+    if not native.available():
+        pytest.skip("native library not built")
+    got = native.parse_obj_geometry(CORNELL_OBJ)
+    assert got is not None
+    tris, mat_slots, names = got
+    ref = parse_obj(CORNELL_OBJ)
+    np.testing.assert_allclose(tris, ref.triangles)
+    # slot names map 1:1 to usemtl order; resolve to reference material rows
+    name_row = {n: i for i, n in enumerate(ref.material_names)}
+    rows = np.array([name_row[n] for n in names], np.int32)
+    np.testing.assert_array_equal(rows[mat_slots], ref.material_indices)
