@@ -66,12 +66,21 @@ def _uniforms(key, bounce, tag, shape):
 
 def intersect_scene(scene: Scene, ray_o, ray_d, backend: str = "auto") -> Hit:
     """Closest-hit dispatch (reference INTERSECT_SCENE,
-    render_kernel.cpp:504-511): BVH or brute-force triangles, plus
-    brute-force spheres (:485-502).  Sphere hits get primitive index
-    N + sphere_id."""
+    render_kernel.cpp:504-511): wavefront clusters (the TPU-native
+    structure), lockstep BVH, or brute-force triangles, plus brute-force
+    spheres (:485-502).  Sphere hits get primitive index N + sphere_id."""
     if backend == "auto":
-        backend = "bvh" if scene.bvh is not None else "brute"
-    if backend == "bvh":
+        if scene.clusters is not None:
+            backend = "cluster"
+        elif scene.bvh is not None:
+            backend = "bvh"
+        else:
+            backend = "brute"
+    if backend == "cluster":
+        from sycl_ray_tracing_tpu.ops.cluster import intersect_clusters
+
+        hit = intersect_clusters(scene.clusters, scene.triangles, ray_o, ray_d)
+    elif backend == "bvh":
         from sycl_ray_tracing_tpu.ops.bvh import intersect_bvh
 
         hit = intersect_bvh(scene.bvh, scene.triangles, ray_o, ray_d)
@@ -97,7 +106,30 @@ def occluded(scene: Scene, ray_o, ray_d, t_max=None, backend: str = "auto"):
     if t_max is None:
         t_max = jnp.full(ray_o.shape[:1], _BIG, ray_o.dtype)
     if backend == "auto":
-        backend = "bvh" if scene.bvh is not None else "brute"
+        if scene.clusters is not None:
+            backend = "cluster"
+        elif scene.bvh is not None:
+            backend = "bvh"
+        else:
+            backend = "brute"
+    if backend == "cluster":
+        from sycl_ray_tracing_tpu.ops.cluster import any_hit as cluster_any
+
+        blocked = cluster_any(
+            scene.clusters,
+            jax.lax.stop_gradient(ray_o),
+            jax.lax.stop_gradient(ray_d),
+            jax.lax.stop_gradient(t_max),
+        )
+        if scene.num_spheres > 0:
+            n = scene.num_triangles
+            sphere_prim = n + jnp.arange(scene.num_spheres, dtype=jnp.int32)
+            s_hit = intersect_spheres(
+                ray_o, ray_d, scene.sphere_centers, scene.sphere_radii,
+                sphere_prim,
+            )
+            blocked = blocked | (s_hit.hit & (s_hit.t + 1e-4 < t_max))
+        return blocked
     if backend == "bvh":
         from sycl_ray_tracing_tpu.ops.bvh import any_hit
 
@@ -376,9 +408,207 @@ def trace(scene: Scene, ray_o, ray_d, key, bounces: int,
     return radiance
 
 
+def trace_shared(scene: Scene, ray_o, ray_d, key, bounces: int,
+                 backend: str = "auto"):
+    """Shared-sample wavefront integrator: the TPU-fast estimator.
+
+    Per bounce: ONE GGX importance sample serves the light-MIS brdf term,
+    the env-MIS brdf term AND the continuation ray; the continuation's
+    closest-hit doubles as the emitter/miss query for both MIS terms.
+    Scene queries per bounce: 1 closest-hit + 2 any-hit (vs the reference's
+    5 full traversals, render_kernel.cpp:96-161 + SURVEY.md §3.2).
+
+    Each MIS term remains individually unbiased — sharing one sample across
+    terms correlates them without biasing their expectations; the sum still
+    estimates the same integral as `trace` (validated statistically in
+    tests/test_integrator.py).
+    """
+    B = ray_o.shape[0]
+    num_lights = scene.num_lights
+    has_env = scene.env_map is not None
+
+    hit0 = intersect_scene(scene, ray_o, ray_d, backend)
+
+    def bounce_body(carry, bounce):
+        ray_o, ray_d, hit, throughput, radiance, alive = carry
+        live_hit = alive & hit.hit
+
+        mat_idx = _material_of_prim(scene, hit.prim)
+        emission, diffuse, metal, rough = scene.materials.lookup(mat_idx)
+        view = -ray_d
+
+        # emission only on primary hits (reference :126-127)
+        radiance = radiance + jnp.where(
+            (live_hit & (bounce == 0))[..., None], emission, 0.0
+        )
+        # env on miss, primary rays only (reference :146-158)
+        if has_env:
+            sky = env_ops.eval_direction(scene.env_map.image, ray_d)
+            miss_primary = alive & (~hit.hit) & (bounce == 0)
+            radiance = radiance + jnp.where(
+                miss_primary[..., None], sky * throughput, 0.0
+            )
+
+        origin = hit.point + hit.normal * RAY_OFFSET
+
+        # --- ONE GGX sample for all brdf-sampled estimators this bounce ---
+        uc = _uniforms(key, bounce, _CONT, (B, 2))
+        brdf_s, wi_s, pdf_s = ggx_importance_sample(
+            diffuse, metal, rough, view, hit.normal, uc[:, 0], uc[:, 1]
+        )
+        cos_s = jnp.maximum(0.0, dot(hit.normal, wi_s))
+        h2 = intersect_scene(scene, origin, wi_s, backend)   # closest-hit #1
+
+        direct = jnp.zeros((B, 3), jnp.float32)
+
+        # --- light NEE: light-sample term (any-hit #1) ---
+        if num_lights > 0:
+            u = _uniforms(key, bounce, _LIGHT, (B, 3))
+            pick = jnp.minimum(
+                (u[:, 0] * num_lights).astype(jnp.int32), num_lights - 1
+            )
+            light_tri_idx = scene.emissive_indices[pick]
+            tri = scene.triangles[light_tri_idx]
+            lp, ln, area = sample_triangle_uniform(
+                tri[:, 0], tri[:, 1], tri[:, 2], u[:, 1], u[:, 2]
+            )
+            pdf_area = 1.0 / jnp.maximum(num_lights * area, 1e-12)
+            to_light = lp - origin
+            dist = jnp.linalg.norm(to_light, axis=-1)
+            wi_l = to_light / jnp.maximum(dist, 1e-12)[..., None]
+            cos_light = jnp.maximum(0.0, dot(ln, -wi_l))
+            front = cos_light > 0.0
+            shadowed = occluded(scene, origin, wi_l, dist, backend)
+            light_pdf = pdf_area * dist * dist / jnp.maximum(cos_light, 1e-6)
+            light_pdf = jnp.where(front, light_pdf, 1.0)
+            light_emission = scene.materials.emission[
+                _material_of_prim(scene, light_tri_idx)
+            ]
+            brdf_l = cook_torrance_eval(
+                diffuse, metal, rough, wi_l, view, hit.normal
+            )
+            brdf_pdf_l = cook_torrance_pdf(rough, view, wi_l, hit.normal)
+            mis_w = power_heuristic(light_pdf, brdf_pdf_l)
+            cos_surf = dot(hit.normal, wi_l)
+            ok = front & (~shadowed) & (brdf_pdf_l != 0.0) & (cos_surf > 0.0)
+            direct = direct + jnp.where(
+                ok[..., None],
+                light_emission
+                * (cos_surf * mis_w / jnp.maximum(light_pdf, 1e-12))[..., None]
+                * brdf_l,
+                0.0,
+            )
+
+            # --- light NEE: brdf-sample term via the SHARED sample/h2 ---
+            from sycl_ray_tracing_tpu.ops.sampling import triangle_area
+
+            n_tris = scene.num_triangles
+            cos_at_light = jnp.maximum(0.0, dot(h2.normal, -wi_s))
+            hit_emission = scene.materials.emission[
+                _material_of_prim(scene, h2.prim)
+            ]
+            is_emitter = jnp.any(hit_emission > 0.0, axis=-1) & (
+                h2.prim < n_tris
+            )
+            light_area2 = triangle_area(
+                scene.triangles[jnp.clip(h2.prim, 0, n_tris - 1)]
+            )
+            t2_safe = jnp.where(h2.hit, h2.t, 1.0)
+            light_pdf2 = (t2_safe * t2_safe) / jnp.maximum(
+                light_area2 * cos_at_light, 1e-6
+            )
+            light_pdf2 = jnp.where(
+                h2.hit & (cos_at_light > 0.0), light_pdf2, 1.0
+            )
+            mis_w2 = power_heuristic(pdf_s, light_pdf2)
+            ok2 = (
+                h2.hit
+                & is_emitter
+                & (cos_at_light > 0.0)
+                & (pdf_s > 0.0)
+                & jnp.any(brdf_s > 0.0, axis=-1)
+            )
+            direct = direct + jnp.where(
+                ok2[..., None],
+                brdf_s
+                * hit_emission
+                * (cos_s * mis_w2 / jnp.maximum(pdf_s, 1e-12))[..., None],
+                0.0,
+            )
+
+        # --- env NEE: env-sample term (any-hit #2) ---
+        if has_env:
+            sampler = scene.env_map
+            u = _uniforms(key, bounce, _ENV, (B, 2))
+            wi_e, env_rad, env_pdf, _ = env_ops.sample(
+                sampler, u[:, 0], u[:, 1]
+            )
+            cos_e = dot(hit.normal, wi_e)
+            blocked = occluded(scene, origin, wi_e, None, backend)
+            brdf_e = cook_torrance_eval(
+                diffuse, metal, rough, wi_e, view, hit.normal
+            )
+            brdf_pdf_e = cook_torrance_pdf(rough, view, wi_e, hit.normal)
+            mis_we = power_heuristic(env_pdf, brdf_pdf_e)
+            ok_e = (cos_e > 0.0) & (~blocked) & (env_pdf > 0.0)
+            direct = direct + jnp.where(
+                ok_e[..., None],
+                brdf_e
+                * env_rad
+                * (cos_e * mis_we / jnp.maximum(env_pdf, 1e-12))[..., None],
+                0.0,
+            )
+
+            # --- env NEE: brdf-sample term via the SHARED sample/h2 ---
+            env_rad_s = env_ops.eval_direction(sampler.image, wi_s)
+            env_pdf_s = env_ops.pdf_of_direction(sampler, wi_s)
+            mis_ws = power_heuristic(pdf_s, env_pdf_s)
+            ok_s = (~h2.hit) & (pdf_s > 0.0) & (cos_s > 0.0)
+            direct = direct + jnp.where(
+                ok_s[..., None],
+                brdf_s
+                * env_rad_s
+                * (cos_s * mis_ws / jnp.maximum(pdf_s, 1e-12))[..., None],
+                0.0,
+            )
+
+        radiance = radiance + jnp.where(
+            live_hit[..., None], direct * throughput, 0.0
+        )
+
+        # --- continuation on the SAME sample; h2 is the next bounce's hit ---
+        ok_c = (
+            live_hit
+            & (pdf_s >= 1e-8)
+            & jnp.isfinite(pdf_s)
+            & jnp.any(brdf_s > 0.0, axis=-1)
+        )
+        new_tp = throughput * brdf_s * (
+            cos_s / jnp.maximum(pdf_s, 1e-12)
+        )[..., None]
+        throughput = jnp.where(ok_c[..., None], new_tp, throughput)
+        ray_o = jnp.where(ok_c[..., None], origin, ray_o)
+        ray_d = jnp.where(ok_c[..., None], wi_s, ray_d)
+        alive = ok_c
+        return (ray_o, ray_d, h2, throughput, radiance, alive), None
+
+    init = (
+        ray_o,
+        ray_d,
+        hit0,
+        jnp.ones((B, 3), jnp.float32),
+        jnp.zeros((B, 3), jnp.float32),
+        jnp.ones((B,), bool),
+    )
+    carry, _ = jax.lax.scan(bounce_body, init, jnp.arange(bounces),
+                            length=bounces)
+    return carry[4]
+
+
 def render_rays(scene: Scene, camera: Camera, px, py,
                 width: int, height: int, key, samples: int, bounces: int,
-                backend: str = "auto", nee: bool = True):
+                backend: str = "auto", nee: bool = True,
+                estimator: str = "parity"):
     """Average ``samples`` jittered paths per pixel; returns HDR [B,3].
 
     Jitter matches the reference: uniform in [c-0.5, c+0.5) around pixel
@@ -392,7 +622,10 @@ def render_rays(scene: Scene, camera: Camera, px, py,
         jx = px + 0.5 + uj[:, 0] - 1.0
         jy = py + 0.5 + uj[:, 1] - 1.0
         ro, rd = camera.generate_rays(jx, jy, width, height)
-        rad = trace(scene, ro, rd, ks, bounces, backend, nee)
+        if estimator == "shared" and nee:
+            rad = trace_shared(scene, ro, rd, ks, bounces, backend)
+        else:
+            rad = trace(scene, ro, rd, ks, bounces, backend, nee)
         return accum + rad, None
 
     accum, _ = jax.lax.scan(
@@ -414,7 +647,7 @@ def render(scene: Scene, camera: Camera, config: RenderConfig, key):
         py = jnp.array([float(y0)], jnp.float32)
         hdr = render_rays(
             scene, camera, px, py, W, H, key, config.samples, config.bounces,
-            config.intersect,
+            config.intersect, True, config.estimator,
         )
         return hdr.reshape(1, 1, 3)
     ys, xs = jnp.meshgrid(
@@ -424,8 +657,32 @@ def render(scene: Scene, camera: Camera, config: RenderConfig, key):
     )
     px = xs.reshape(-1)
     py = ys.reshape(-1)
-    hdr = render_rays(
-        scene, camera, px, py, W, H, key, config.samples, config.bounces,
-        config.intersect,
-    )
-    return hdr.reshape(H, W, 3)
+    B = W * H
+
+    tile = config.tile_rays
+    if tile is None or tile >= B:
+        hdr = render_rays(
+            scene, camera, px, py, W, H, key, config.samples, config.bounces,
+            config.intersect, True, config.estimator,
+        )
+        return hdr.reshape(H, W, 3)
+
+    # wavefront tiling: bound the cluster tracer's pair-expansion transients
+    # (one tile program, sequentially mapped — compile once)
+    n_tiles = -(-B // tile)
+    pad = n_tiles * tile - B
+    px = jnp.pad(px, (0, pad)).reshape(n_tiles, tile)
+    py = jnp.pad(py, (0, pad)).reshape(n_tiles, tile)
+
+    def do_tile(args):
+        tpx, tpy, tidx = args
+        k = jax.random.fold_in(key, tidx)
+        return render_rays(
+            scene, camera, tpx, tpy, W, H, k, config.samples, config.bounces,
+            config.intersect, True, config.estimator,
+        )
+
+    hdr = jax.lax.map(
+        do_tile, (px, py, jnp.arange(n_tiles))
+    ).reshape(n_tiles * tile, 3)
+    return hdr[:B].reshape(H, W, 3)

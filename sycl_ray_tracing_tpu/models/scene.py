@@ -76,6 +76,7 @@ class Scene:
     sphere_material: jnp.ndarray      # [S] int32
     env_map: Optional[EnvMapSampler]  # None -> black sky
     bvh: Optional[Any]                # ops.bvh.ThreadedBVH or None
+    clusters: Optional[Any] = None    # ops.cluster.ClusterScene or None
 
     @property
     def num_triangles(self) -> int:
@@ -94,6 +95,24 @@ class Scene:
 
     def with_bvh(self, bvh) -> "Scene":
         return dataclasses.replace(self, bvh=bvh)
+
+    def with_clusters(self, clusters) -> "Scene":
+        return dataclasses.replace(self, clusters=clusters)
+
+    def build_acceleration(self, num_rays_hint: int = 32768) -> "Scene":
+        """Build the default acceleration structure (wavefront clusters,
+        SAH-ordered when the native builder is available)."""
+        import numpy as np
+
+        from sycl_ray_tracing_tpu.ops.cluster import (
+            build_clusters,
+            default_budgets,
+        )
+
+        tris = np.asarray(self.triangles)
+        cs = build_clusters(tris)
+        p1, p2 = default_budgets(num_rays_hint, cs.num_superclusters)
+        return self.with_clusters(cs.with_budgets(p1, p2))
 
     def with_materials(self, materials: Materials) -> "Scene":
         return dataclasses.replace(self, materials=materials)

@@ -1,0 +1,306 @@
+"""Wavefront cluster tracer: dense, loop-free ray/scene intersection.
+
+THE TPU-native acceleration structure of this framework.  The lockstep
+skip-link BVH (ops/bvh.py) is algorithmically faithful to GPU traversal but
+is bottlenecked on TPU by per-ray narrow gathers inside a sequential
+while_loop (~0.3 ms per in-loop gather, ~10^3 lockstep iterations).  This
+module replaces pointer chasing with three dense, fully-parallel phases that
+XLA maps straight onto the VPU and wide DMA:
+
+  1. ray x supercluster AABB slab tests        — dense [B,K1], no gathers
+  2. surviving (ray, supercluster) pairs test the 64 child cluster AABBs
+     — one 2 KB contiguous row-gather per pair + dense [P1,64] math
+  3. surviving (ray, cluster) pairs run Möller–Trumbore on the cluster's
+     64 triangles — one 2.3 KB row-gather per pair + dense [P2,64] math,
+     then a segment-min reduction back to per-ray closest hits
+
+Pair expansion uses ``jnp.nonzero(size=...)`` (static budgets, masked
+overflow) and the reductions use sorted ``segment_min`` — no
+data-dependent control flow anywhere, so the whole intersection is a
+fixed-shape DAG: no while_loop, no divergence, no lockstep straggler
+problem.
+
+Geometry is grouped by Morton order (or the C++ SAH builder's leaf order)
+into clusters of 64 triangles and superclusters of 64 clusters; capacity is
+64*64*64 = 262k triangles per two-level table, with a third level planned
+for multi-million-triangle scenes.
+
+The reference equivalent is the flattened BVH + iterative traversal
+(flattened_bvh.h:12-48); capability is the same (closest-hit + any-hit for
+shadows), the algorithm is TPU-first.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sycl_ray_tracing_tpu.ops.intersect import BIG_T, Hit, _finalize_tri_hit
+from sycl_ray_tracing_tpu.ops.safe_math import EPS
+
+T_CLUSTER = 64       # triangles per cluster
+S_CLUSTER = 64       # clusters per supercluster
+SHADOW_EPS = 1e-4    # reference t_max slack (render_kernel.cpp:751)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class ClusterScene:
+    """Two-level clustered geometry (all padded to full 64/64 groups)."""
+
+    sc_box: jnp.ndarray       # [K1,8] f32 supercluster AABB (min3,max3,0,0)
+    cl_box_rows: jnp.ndarray  # [K1, S*8] f32 child-cluster AABBs, one row
+    cl_tris: jnp.ndarray      # [K2, T*9] f32 cluster triangle vertices
+    cl_tri_idx: jnp.ndarray   # [K2, T] i32 original tri index (-1 pad)
+    p1_budget: int = dataclasses.field(default=0, metadata=dict(static=True))
+    p2_budget: int = dataclasses.field(default=0, metadata=dict(static=True))
+
+    @property
+    def num_superclusters(self) -> int:
+        return self.sc_box.shape[0]
+
+    @property
+    def num_clusters(self) -> int:
+        return self.cl_tris.shape[0]
+
+    def with_budgets(self, p1: int, p2: int) -> "ClusterScene":
+        return dataclasses.replace(self, p1_budget=p1, p2_budget=p2)
+
+
+def build_clusters(triangles: np.ndarray, order: np.ndarray | None = None,
+                   p1_budget: int = 0, p2_budget: int = 0) -> ClusterScene:
+    """Group triangles [N,3,3] into the two-level cluster table.
+
+    ``order``: optional spatial ordering (defaults to Morton order of AABB
+    centroids; pass a SAH-tree leaf order for tighter clusters).
+    """
+    from sycl_ray_tracing_tpu.ops.bvh import _morton3
+
+    tris = np.asarray(triangles, np.float32)
+    n = tris.shape[0]
+    if order is None:
+        tmin = tris.min(axis=1)
+        tmax = tris.max(axis=1)
+        cent = 0.5 * (tmin + tmax)
+        lo = cent.min(axis=0)
+        span = np.maximum(cent.max(axis=0) - lo, 1e-12)
+        order = np.argsort(_morton3((cent - lo) / span), kind="stable")
+    order = np.asarray(order, np.int64)
+
+    k2 = max(1, -(-n // T_CLUSTER))
+    k1 = max(1, -(-k2 // S_CLUSTER))
+    k2_pad = k1 * S_CLUSTER
+    slot_count = k2_pad * T_CLUSTER
+
+    # triangle slots (padded with degenerate zero triangles)
+    sorted_tris = np.zeros((slot_count, 3, 3), np.float32)
+    sorted_tris[:n] = tris[order]
+    tri_idx = np.full((slot_count,), -1, np.int32)
+    tri_idx[:n] = order.astype(np.int32)
+
+    grouped = sorted_tris.reshape(k2_pad, T_CLUSTER, 3, 3)
+    # cluster AABBs; padding slots must not affect bounds
+    valid = (tri_idx.reshape(k2_pad, T_CLUSTER) >= 0)[..., None]
+    big = np.float32(3e38)
+    vmin = np.where(valid, grouped.min(axis=2), big).min(axis=1)   # [K2,3]
+    vmax = np.where(valid, grouped.max(axis=2), -big).max(axis=1)
+
+    sc_min = vmin.reshape(k1, S_CLUSTER, 3).min(axis=1)
+    sc_max = vmax.reshape(k1, S_CLUSTER, 3).max(axis=1)
+
+    # Empty (padding) groups have inverted bounds, and the auto-sorting slab
+    # test would treat those as hit-everything.  Patch them to the
+    # always-miss sentinel min = max = +big (tnear==tfar==±big fails either
+    # tfar>EPS or tnear<t_lim for every ray).
+    cl_empty = ~valid.any(axis=(1, 2))
+    vmin[cl_empty] = big
+    vmax[cl_empty] = big
+    sc_empty = cl_empty.reshape(k1, S_CLUSTER).all(axis=1)
+    sc_min[sc_empty] = big
+    sc_max[sc_empty] = big
+
+    cl_box = np.concatenate(
+        [vmin, vmax, np.zeros((k2_pad, 2), np.float32)], axis=1
+    )                                                               # [K2,8]
+    sc_box = np.concatenate(
+        [sc_min, sc_max, np.zeros((k1, 2), np.float32)], axis=1
+    )
+
+    return ClusterScene(
+        sc_box=jnp.asarray(sc_box),
+        cl_box_rows=jnp.asarray(cl_box.reshape(k1, S_CLUSTER * 8)),
+        cl_tris=jnp.asarray(grouped.reshape(k2_pad, T_CLUSTER * 9)),
+        cl_tri_idx=jnp.asarray(tri_idx.reshape(k2_pad, T_CLUSTER)),
+        p1_budget=p1_budget or 16 * 1024,
+        p2_budget=p2_budget or 64 * 1024,
+    )
+
+
+def default_budgets(num_rays: int, k1: int):
+    """Heuristic pair budgets sized from measured densities on the dragon
+    workload: secondary (surface-origin) rays average ~7 supercluster pairs
+    and ~18 cluster pairs per ray; primaries are far sparser.  16x/32x
+    leaves ~2x headroom."""
+    p1 = min(num_rays * 16, num_rays * max(1, k1))
+    p2 = num_rays * 32
+    return p1, p2
+
+
+def _inv_dir(ray_d):
+    sign = jnp.where(ray_d < 0, -1.0, 1.0)
+    return sign / jnp.maximum(jnp.abs(ray_d), 1e-30)
+
+
+def _slab_dense(boxes, o, inv_d, t_lim):
+    """boxes [K,8] vs rays [B,3]: -> hit mask [B,K] (dense, no gathers)."""
+    bmin = boxes[:, 0:3]                               # [K,3]
+    bmax = boxes[:, 3:6]
+    t0 = (bmin[None] - o[:, None]) * inv_d[:, None]    # [B,K,3]
+    t1 = (bmax[None] - o[:, None]) * inv_d[:, None]
+    tnear = jnp.max(jnp.minimum(t0, t1), axis=-1)
+    tfar = jnp.min(jnp.maximum(t0, t1), axis=-1)
+    return (tnear <= tfar) & (tfar > EPS) & (tnear < t_lim[:, None])
+
+
+def _expand_pairs(mask, budget):
+    """mask [A,C] -> (row_idx [P], col_idx [P], valid [P], overflowed)."""
+    r, c = jnp.nonzero(
+        mask, size=budget, fill_value=(mask.shape[0], mask.shape[1])
+    )
+    count = jnp.sum(mask)
+    valid = jnp.arange(budget) < count
+    return r, c, valid, count > budget
+
+
+def _mt_block(tri_rows, o, d):
+    """MT on [P, T*9] triangle rows vs per-pair rays [P,3] -> t [P,T]."""
+    P = tri_rows.shape[0]
+    tri = tri_rows.reshape(P, T_CLUSTER, 3, 3)
+    va = tri[:, :, 0, :]
+    e1 = tri[:, :, 1, :] - va
+    e2 = tri[:, :, 2, :] - va
+    dv = d[:, None, :]
+    ov = o[:, None, :]
+    h = jnp.cross(dv, e2)
+    a = jnp.sum(e1 * h, axis=-1)
+    parallel = jnp.abs(a) < EPS
+    f = 1.0 / jnp.where(parallel, 1.0, a)
+    s = ov - va
+    u = f * jnp.sum(s * h, axis=-1)
+    q = jnp.cross(s, e1)
+    v = f * jnp.sum(dv * q, axis=-1)
+    t = f * jnp.sum(e2 * q, axis=-1)
+    ok = (
+        (~parallel)
+        & (u >= 0.0)
+        & (u <= 1.0)
+        & (v >= 0.0)
+        & (u + v <= 1.0)
+        & (t > EPS)
+    )
+    return jnp.where(ok, t, BIG_T)
+
+
+def _trace_pairs(scene: ClusterScene, ray_o, ray_d, t_lim):
+    """Shared phases 1-3.  Returns (r2, t [P2,T], slot_idx [P2,T],
+    valid2 [P2], overflow)."""
+    B = ray_o.shape[0]
+    inv_d = _inv_dir(ray_d)
+
+    # phase 1: dense supercluster tests
+    m1 = _slab_dense(scene.sc_box, ray_o, inv_d, t_lim)          # [B,K1]
+    r1, s1, valid1, of1 = _expand_pairs(m1, scene.p1_budget)
+    r1c = jnp.minimum(r1, B - 1)
+    s1c = jnp.minimum(s1, scene.num_superclusters - 1)
+
+    # phase 2: child cluster tests (one wide row-gather per pair)
+    child_boxes = scene.cl_box_rows[s1c].reshape(-1, S_CLUSTER, 8)
+    o1 = ray_o[r1c]
+    i1 = inv_d[r1c]
+    tl1 = t_lim[r1c]
+    bmin = child_boxes[..., 0:3]
+    bmax = child_boxes[..., 3:6]
+    t0 = (bmin - o1[:, None]) * i1[:, None]
+    t1 = (bmax - o1[:, None]) * i1[:, None]
+    tnear = jnp.max(jnp.minimum(t0, t1), axis=-1)
+    tfar = jnp.min(jnp.maximum(t0, t1), axis=-1)
+    m2 = (tnear <= tfar) & (tfar > EPS) & (tnear < tl1[:, None])
+    m2 = m2 & valid1[:, None]                                     # [P1,S]
+
+    p2_idx, c2_local, valid2, of2 = _expand_pairs(m2, scene.p2_budget)
+    p2c = jnp.minimum(p2_idx, scene.p1_budget - 1)
+    r2 = r1c[p2c]                                                 # ray ids
+    c2 = s1c[p2c] * S_CLUSTER + jnp.minimum(c2_local, S_CLUSTER - 1)
+
+    # phase 3: cluster triangle tests (one 2.3KB row-gather per pair)
+    tri_rows = scene.cl_tris[c2]                                  # [P2,T*9]
+    t = _mt_block(tri_rows, ray_o[r2], ray_d[r2])                 # [P2,T]
+    t = jnp.where(valid2[:, None], t, BIG_T)
+    slot_idx = scene.cl_tri_idx[c2]                               # [P2,T]
+    return r2, t, slot_idx, valid2, of1 | of2
+
+
+def closest_hit(scene: ClusterScene, ray_o, ray_d):
+    """Closest-hit for rays [B,3] -> (t [B], prim [B] (-1 miss), overflow).
+
+    Loop-free: all phases are dense math / wide gathers / segment reduce.
+    """
+    B = ray_o.shape[0]
+    t_lim = jnp.full((B,), BIG_T, ray_o.dtype)
+    r2, t, slot_idx, valid2, overflow = _trace_pairs(
+        scene, ray_o, ray_d, t_lim
+    )
+
+    # per-pair best triangle, then segment-min over pairs per ray
+    lane = jnp.argmin(t, axis=1)
+    pair_t = jnp.take_along_axis(t, lane[:, None], axis=1)[:, 0]
+    pair_prim = jnp.take_along_axis(slot_idx, lane[:, None], axis=1)[:, 0]
+
+    seg = jnp.where(valid2, r2, B)              # invalid pairs -> dump row
+    best_t = jax.ops.segment_min(
+        pair_t, seg, num_segments=B + 1, indices_are_sorted=True
+    )[:B]
+    best_t = jnp.minimum(best_t, BIG_T)
+    # winning primitive: segment_min over packed (t, prim) — use argmin via
+    # comparing pair_t against the segment best
+    is_best = (pair_t <= best_t[jnp.minimum(seg, B - 1)]) & valid2
+    best_prim = jax.ops.segment_max(
+        jnp.where(is_best, pair_prim, -1), seg, num_segments=B + 1,
+        indices_are_sorted=True,
+    )[:B]
+    best_prim = jnp.where(best_t < BIG_T, best_prim, -1)
+    return best_t, best_prim, overflow
+
+
+def any_hit(scene: ClusterScene, ray_o, ray_d, t_max):
+    """Occlusion: True where any triangle lies at t < t_max - SHADOW_EPS."""
+    B = ray_o.shape[0]
+    t_lim = t_max - SHADOW_EPS
+    r2, t, _, valid2, _ = _trace_pairs(scene, ray_o, ray_d, t_lim)
+    pair_hit = jnp.any(t < t_lim[jnp.minimum(r2, B - 1)][:, None], axis=1)
+    pair_hit = pair_hit & valid2
+    seg = jnp.where(valid2, r2, B)
+    hits = jax.ops.segment_max(
+        pair_hit.astype(jnp.int32), seg, num_segments=B + 1,
+        indices_are_sorted=True,
+    )[:B]
+    return hits > 0
+
+
+def intersect_clusters(scene: ClusterScene, tris, ray_o, ray_d) -> Hit:
+    """Closest-hit with a differentiable hit record (same stop-gradient +
+    recompute recipe as ops.bvh.intersect_bvh)."""
+    o_ng = jax.lax.stop_gradient(ray_o)
+    d_ng = jax.lax.stop_gradient(ray_d)
+    _, prim, _ = closest_hit(scene, o_ng, d_ng)
+
+    safe_prim = jnp.maximum(prim, 0)
+    from sycl_ray_tracing_tpu.ops.intersect import moller_trumbore
+
+    t, _, _, valid = moller_trumbore(ray_o, ray_d, tris[safe_prim])
+    found = (prim >= 0) & valid
+    best_t = jnp.where(found, t, BIG_T)
+    return _finalize_tri_hit(ray_o, ray_d, tris, safe_prim, best_t)

@@ -18,20 +18,31 @@ class RenderConfig:
     height: int = 512
     samples: int = 64
     bounces: int = 8
-    # intersection backend: "auto" (BVH if the scene has one), "brute", "bvh"
+    # intersection backend: "auto" (clusters > bvh > brute, by what the
+    # scene carries), "cluster", "bvh", "brute"
     intersect: str = "auto"
     # camera preset name (models.camera.PRESETS) — runtime, not compile-time
     camera: str = "cornell"
     # restrict render to one pixel for debugging (reference DEBUG_PIXEL)
     debug_pixel: Optional[Tuple[int, int]] = None
-    # rays processed per wavefront batch; None = whole image at once
-    tile_rays: Optional[int] = None
+    # rays processed per wavefront tile; None = whole image at once.
+    # Bounds the transient memory of the cluster tracer's pair expansion.
+    tile_rays: Optional[int] = 32768
     # samples per scan step (accumulated in linear HDR)
     samples_per_pass: int = 1
+    # estimator wiring:
+    #  "shared" — one GGX sample per bounce shared by the light-MIS term,
+    #             the env-MIS term and the continuation ray: 1 closest-hit +
+    #             2 any-hit scene queries per bounce (TPU-fast, unbiased)
+    #  "parity" — reference structure: 3 independent GGX samples, 5 scene
+    #             queries per bounce (render_kernel.cpp:633-713,569-631)
+    estimator: str = "shared"
 
     def __post_init__(self):
-        if self.intersect not in ("auto", "brute", "bvh"):
+        if self.intersect not in ("auto", "brute", "bvh", "cluster"):
             raise ValueError(f"bad intersect mode {self.intersect!r}")
+        if self.estimator not in ("shared", "parity"):
+            raise ValueError(f"bad estimator {self.estimator!r}")
         if self.samples % self.samples_per_pass != 0:
             raise ValueError("samples must be divisible by samples_per_pass")
 

@@ -107,7 +107,6 @@ def dragon_scene(n_tris: int = 200_000, with_sky: bool = True,
     """Assemble the flagship benchmark scene: dragon stand-in on a ground
     plane with a rough-metal material + emissive panel + HDR sky."""
     from sycl_ray_tracing_tpu.models.scene import make_materials, make_scene
-    from sycl_ray_tracing_tpu.ops.bvh import build_bvh
 
     dragon = dragon_standin(n_tris - 12)
     # ground plane + emissive panel above
@@ -145,5 +144,5 @@ def dragon_scene(n_tris: int = 200_000, with_sky: bool = True,
     sky = procedural_sky(*sky_res) if with_sky else None
     scene = make_scene(tris, mat_idx, mats, env_map_image=sky)
     if build_accel:
-        scene = scene.with_bvh(build_bvh(tris, leaf_size=4))
+        scene = scene.build_acceleration()
     return scene

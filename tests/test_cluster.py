@@ -1,0 +1,162 @@
+"""Wavefront cluster tracer vs the brute-force oracle."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tests.conftest import CORNELL_OBJ
+from sycl_ray_tracing_tpu.ops.cluster import (
+    any_hit,
+    build_clusters,
+    closest_hit,
+    intersect_clusters,
+)
+from sycl_ray_tracing_tpu.ops.intersect import BIG_T, intersect_triangles
+from sycl_ray_tracing_tpu.utils.obj_loader import parse_obj
+
+
+def _random_rays(n, rng, lo=-2.0, hi=2.0):
+    o = rng.uniform(lo, hi, (n, 3)).astype(np.float32)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    return jnp.asarray(o), jnp.asarray(d)
+
+
+def _check(tris, o, d, p1=None, p2=None):
+    B = o.shape[0]
+    cs = build_clusters(np.asarray(tris))
+    cs = cs.with_budgets(p1 or B * 8, p2 or B * 16)
+    oracle = intersect_triangles(o, d, tris)
+    t, prim, overflow = closest_hit(cs, o, d)
+    assert not bool(overflow), "pair budget overflow"
+    np.testing.assert_array_equal(
+        np.asarray(prim >= 0), np.asarray(oracle.hit)
+    )
+    m = np.asarray(oracle.hit)
+    np.testing.assert_allclose(
+        np.asarray(t)[m], np.asarray(oracle.t)[m], rtol=1e-5
+    )
+    pm = np.asarray(prim)[m] == np.asarray(oracle.prim)[m]
+    if (~pm).any():  # only exact-t ties may differ
+        np.testing.assert_allclose(
+            np.asarray(t)[m][~pm], np.asarray(oracle.t)[m][~pm], rtol=1e-6
+        )
+    return cs, oracle
+
+
+def test_single_triangle():
+    tris = jnp.array([[[0.0, 0.0, -2.0], [1.0, 0.0, -2.0], [0.0, 1.0, -2.0]]])
+    o = jnp.array([[0.2, 0.2, 0.0], [5.0, 5.0, 0.0]])
+    d = jnp.array([[0.0, 0.0, -1.0], [0.0, 0.0, -1.0]])
+    _check(tris, o, d)
+
+
+def test_random_soup():
+    rng = np.random.default_rng(0)
+    tris = jnp.asarray(rng.uniform(-1, 1, (300, 3, 3)).astype(np.float32))
+    o, d = _random_rays(512, rng)
+    _check(tris, o, d)
+
+
+def test_multi_supercluster_scene():
+    """>4096 triangles forces several superclusters."""
+    rng = np.random.default_rng(5)
+    centers = rng.uniform(-10, 10, (10_000, 1, 3)).astype(np.float32)
+    tris = jnp.asarray(
+        centers + rng.uniform(-0.05, 0.05, (10_000, 3, 3)).astype(np.float32)
+    )
+    o, d = _random_rays(256, rng, -12, 12)
+    _check(tris, o, d)
+
+
+def test_cornell_rays():
+    parsed = parse_obj(CORNELL_OBJ)
+    tris = jnp.asarray(parsed.triangles)
+    rng = np.random.default_rng(7)
+    o = jnp.asarray(
+        rng.uniform(-0.4, 0.4, (256, 3)).astype(np.float32)
+        + np.array([0.0, 1.0, 0.0], np.float32)
+    )
+    d = rng.normal(size=(256, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    _check(tris, o, jnp.asarray(d))
+
+
+def test_any_hit_matches_oracle():
+    rng = np.random.default_rng(21)
+    tris = jnp.asarray(rng.uniform(-1, 1, (200, 3, 3)).astype(np.float32))
+    o, d = _random_rays(256, rng)
+    cs = build_clusters(np.asarray(tris)).with_budgets(256 * 8, 256 * 16)
+    oracle = intersect_triangles(o, d, tris)
+    for tmax_val in (0.5, 2.0, 1e30):
+        t_max = jnp.full((256,), tmax_val, jnp.float32)
+        got = np.asarray(any_hit(cs, o, d, t_max))
+        want = np.asarray(oracle.hit & (oracle.t + 1e-4 < t_max))
+        np.testing.assert_array_equal(got, want)
+
+
+def test_overflow_flag():
+    """Tiny budgets must raise the overflow flag, not crash."""
+    rng = np.random.default_rng(2)
+    tris = jnp.asarray(rng.uniform(-1, 1, (300, 3, 3)).astype(np.float32))
+    o, d = _random_rays(128, rng)
+    cs = build_clusters(np.asarray(tris)).with_budgets(4, 4)
+    _, _, overflow = closest_hit(cs, o, d)
+    assert bool(overflow)
+
+
+def test_intersect_clusters_hit_record():
+    parsed = parse_obj(CORNELL_OBJ)
+    tris = jnp.asarray(parsed.triangles)
+    rng = np.random.default_rng(9)
+    o, d = _random_rays(128, rng, -0.5, 0.5)
+    cs = build_clusters(np.asarray(tris)).with_budgets(128 * 8, 128 * 16)
+    got = intersect_clusters(cs, tris, o, d)
+    oracle = intersect_triangles(o, d, tris)
+    np.testing.assert_array_equal(np.asarray(got.hit), np.asarray(oracle.hit))
+    m = np.asarray(oracle.hit)
+    np.testing.assert_allclose(
+        np.asarray(got.point)[m], np.asarray(oracle.point)[m],
+        rtol=1e-4, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.normal)[m], np.asarray(oracle.normal)[m],
+        rtol=1e-4, atol=1e-5,
+    )
+
+
+def test_sah_order_build():
+    """Clustering by the SAH builder's slot order also agrees."""
+    from sycl_ray_tracing_tpu import native
+
+    if not native.available():
+        pytest.skip("native library not built")
+    from sycl_ray_tracing_tpu.ops.bvh import build_bvh
+
+    rng = np.random.default_rng(31)
+    centers = rng.uniform(-5, 5, (3000, 1, 3)).astype(np.float32)
+    tris_np = (
+        centers + rng.uniform(-0.1, 0.1, (3000, 3, 3)).astype(np.float32)
+    )
+    bvh = build_bvh(tris_np, method="sah")
+    # SAH leaf order: tri_order contains padding duplicates; dedupe keeping
+    # first occurrence to form a permutation
+    slot = np.asarray(bvh.tri_order)
+    seen = np.zeros(3000, bool)
+    order = []
+    for s in slot:
+        if not seen[s]:
+            seen[s] = True
+            order.append(s)
+    order = np.array(order, np.int64)
+    tris = jnp.asarray(tris_np)
+    o, d = _random_rays(256, rng, -6, 6)
+    cs = build_clusters(tris_np, order=order).with_budgets(256 * 8, 256 * 16)
+    oracle = intersect_triangles(o, d, tris)
+    t, prim, overflow = closest_hit(cs, o, d)
+    assert not bool(overflow)
+    np.testing.assert_array_equal(np.asarray(prim >= 0), np.asarray(oracle.hit))
+    m = np.asarray(oracle.hit)
+    np.testing.assert_allclose(
+        np.asarray(t)[m], np.asarray(oracle.t)[m], rtol=1e-5
+    )

@@ -138,3 +138,69 @@ def test_env_map_lights_scene(cornell_scene, test_env_map, rng_key):
     base = np.asarray(_render(cornell_scene, cfg, rng_key)).mean()
     with_env = np.asarray(_render(lit, cfg, rng_key)).mean()
     assert with_env > base
+
+
+def test_shared_estimator_matches_parity(cornell_scene):
+    """The shared-sample wavefront estimator (1 closest + 2 any-hit per
+    bounce) must agree with the reference-structure estimator (5 queries)
+    in expectation."""
+    import dataclasses as _dc
+
+    mats = cornell_scene.materials
+    scene = cornell_scene.with_materials(
+        _dc.replace(mats, roughness=jnp.maximum(mats.roughness, 0.3))
+    )
+    cam = cornell_box_camera()
+    W = H = 16
+    ys, xs = jnp.meshgrid(
+        jnp.arange(H, dtype=jnp.float32),
+        jnp.arange(W, dtype=jnp.float32),
+        indexing="ij",
+    )
+    px, py = xs.reshape(-1), ys.reshape(-1)
+
+    a = np.asarray(pathtracer.render_rays(
+        scene, cam, px, py, W, H, jax.random.PRNGKey(3), 128, 3,
+        "brute", True, "shared",
+    ))
+    b = np.asarray(pathtracer.render_rays(
+        scene, cam, px, py, W, H, jax.random.PRNGKey(7), 128, 3,
+        "brute", True, "parity",
+    ))
+    mask = (a < 5) & (b < 5)
+    rel = np.abs(a - b) / (a + b + 0.1)
+    assert rel[mask].mean() < 0.12, rel[mask].mean()
+    ga, gb = a[mask].mean(), b[mask].mean()
+    assert abs(ga - gb) / (ga + gb) < 0.04, (ga, gb)
+
+
+def test_cluster_backend_matches_brute(cornell_scene, rng_key):
+    """Rendering with the wavefront cluster backend reproduces the
+    brute-force image exactly (same estimator, same RNG)."""
+    scene = cornell_scene.build_acceleration(num_rays_hint=1024)
+    cfg_b = RenderConfig(width=16, height=16, samples=4, bounces=2,
+                         intersect="brute", tile_rays=None)
+    cfg_c = RenderConfig(width=16, height=16, samples=4, bounces=2,
+                         intersect="cluster", tile_rays=None)
+    cam = cornell_box_camera()
+    a = np.asarray(pathtracer.render(scene, cam, cfg_b, rng_key))
+    b = np.asarray(pathtracer.render(scene, cam, cfg_c, rng_key))
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+
+def test_tiled_render_matches_untiled(cornell_scene):
+    """Ray tiling changes only RNG stream assignment, not the estimator."""
+    cfg_t = RenderConfig(width=16, height=16, samples=32, bounces=2,
+                         tile_rays=64)
+    cfg_u = RenderConfig(width=16, height=16, samples=32, bounces=2,
+                         tile_rays=None)
+    cam = cornell_box_camera()
+    a = np.asarray(pathtracer.render(cornell_scene, cam, cfg_t,
+                                     jax.random.PRNGKey(0)))
+    b = np.asarray(pathtracer.render(cornell_scene, cam, cfg_u,
+                                     jax.random.PRNGKey(1)))
+    assert a.shape == b.shape == (16, 16, 3)
+    assert np.isfinite(a).all()
+    mask = (a < 5) & (b < 5)
+    rel = np.abs(a - b) / (a + b + 0.2)
+    assert rel[mask].mean() < 0.25  # MC noise at 32 spp
