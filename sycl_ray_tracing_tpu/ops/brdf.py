@@ -92,6 +92,59 @@ def cook_torrance_pdf(roughness, view, to_light, normal):
     return jnp.where(voh > 0.0, d * noh / jnp.maximum(4.0 * voh, 1e-8), 0.0)
 
 
+def ggx_vndf_sample(roughness, view, normal, u1, u2):
+    """Visible-normal (VNDF) GGX sampling via the spherical-cap method
+    (Dupuy & Benyoub 2023).  Capability parity with the reference's unused
+    alternative sampler (render_kernel.cpp:303-370); returns
+    (microfacet_normal [...,3], pdf [...]).
+
+    pdf = G1(view) * D(h) * max(0, v.h) / v.n — the standard VNDF density.
+    """
+    from sycl_ray_tracing_tpu.ops.sampling import branchless_onb
+
+    alpha = roughness * roughness
+    # express view in the local frame of the surface normal
+    t, b = branchless_onb(normal)
+    v_local = jnp.stack(
+        [dot(view, t), dot(view, b), dot(view, normal)], axis=-1
+    )
+    # warp view to the hemisphere configuration
+    vs = normalize(
+        jnp.stack(
+            [v_local[..., 0] * alpha, v_local[..., 1] * alpha,
+             v_local[..., 2]], axis=-1
+        )
+    )
+    # sample a spherical cap in (-vs.z, 1]
+    phi = 2.0 * jnp.pi * u1
+    z = 1.0 - u2 - u2 * vs[..., 2]
+    sin_t = safe_sqrt(jnp.clip(1.0 - z * z, 0.0, 1.0))
+    c = jnp.stack([sin_t * jnp.cos(phi), sin_t * jnp.sin(phi), z], axis=-1)
+    h_std = c + vs
+    # warp back to the ellipsoid configuration
+    h_local = normalize(
+        jnp.stack(
+            [h_std[..., 0] * alpha, h_std[..., 1] * alpha,
+             jnp.maximum(h_std[..., 2], 1e-6)], axis=-1
+        )
+    )
+    h = (
+        h_local[..., 0:1] * t
+        + h_local[..., 1:2] * b
+        + h_local[..., 2:3] * normal
+    )
+
+    nov = jnp.maximum(dot(normal, view), 1e-6)
+    noh = jnp.maximum(0.0, dot(normal, h))
+    voh = jnp.maximum(0.0, dot(view, h))
+    a2 = alpha * alpha
+    lam = safe_sqrt(a2 + (1.0 - a2) * nov * nov) + nov
+    g1 = 2.0 * nov / lam
+    # VNDF density over microfacet normals: D_v(h) = G1 D(h) <v,h> / <v,n>
+    pdf = g1 * ggx_ndf(alpha, noh) * voh / jnp.maximum(nov, 1e-6)
+    return h, pdf
+
+
 def ggx_importance_sample(diffuse, metalness, roughness, view, normal, u1, u2):
     """Sample a GGX microfacet normal, reflect, and evaluate in one call
     (reference cook_torrance_brdf_importance_sample, render_kernel.cpp:392-451).

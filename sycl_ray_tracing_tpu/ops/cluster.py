@@ -52,11 +52,16 @@ class ClusterScene:
     """Two-level clustered geometry (all padded to full 64/64 groups)."""
 
     sc_box: jnp.ndarray       # [K1,8] f32 supercluster AABB (min3,max3,0,0)
-    cl_box_rows: jnp.ndarray  # [K1, S*8] f32 child-cluster AABBs, one row
-    cl_tris: jnp.ndarray      # [K2, T*9] f32 cluster triangle vertices
+    cl_box_rows: jnp.ndarray  # [K1, 8*S] f32 child AABBs, PLANAR coord rows
+    cl_box: jnp.ndarray       # [K2,8] f32 per-cluster AABB (dense path)
+    cl_tris: jnp.ndarray      # [K2, 9*T] f32 PLANAR triangle coordinate rows
     cl_tri_idx: jnp.ndarray   # [K2, T] i32 original tri index (-1 pad)
     p1_budget: int = dataclasses.field(default=0, metadata=dict(static=True))
     p2_budget: int = dataclasses.field(default=0, metadata=dict(static=True))
+    # per-ray cluster budget for the top-k tracer (0 = use the pair tracer)
+    k_clusters: int = dataclasses.field(default=32, metadata=dict(static=True))
+    # max hit child-clusters per (ray, supercluster) pair; 0 = exact path
+    fanout: int = dataclasses.field(default=0, metadata=dict(static=True))
 
     @property
     def num_superclusters(self) -> int:
@@ -68,6 +73,12 @@ class ClusterScene:
 
     def with_budgets(self, p1: int, p2: int) -> "ClusterScene":
         return dataclasses.replace(self, p1_budget=p1, p2_budget=p2)
+
+    def with_k_clusters(self, k: int) -> "ClusterScene":
+        return dataclasses.replace(self, k_clusters=k)
+
+    def with_fanout(self, f: int) -> "ClusterScene":
+        return dataclasses.replace(self, fanout=f)
 
 
 def build_clusters(triangles: np.ndarray, order: np.ndarray | None = None,
@@ -102,6 +113,13 @@ def build_clusters(triangles: np.ndarray, order: np.ndarray | None = None,
     tri_idx[:n] = order.astype(np.int32)
 
     grouped = sorted_tris.reshape(k2_pad, T_CLUSTER, 3, 3)
+    # COORDINATE-PLANAR row layout: [ax*T | ay*T | az*T | bx*T | ...] so the
+    # MT kernel reads lane-contiguous [P,T] planes (an interleaved xyz
+    # layout makes every coordinate load a stride-9 access — ~10x slower on
+    # the VPU)
+    planar = np.transpose(grouped, (0, 2, 3, 1)).reshape(
+        k2_pad, 9 * T_CLUSTER
+    )
     # cluster AABBs; padding slots must not affect bounds
     valid = (tri_idx.reshape(k2_pad, T_CLUSTER) >= 0)[..., None]
     big = np.float32(3e38)
@@ -122,6 +140,17 @@ def build_clusters(triangles: np.ndarray, order: np.ndarray | None = None,
     sc_min[sc_empty] = big
     sc_max[sc_empty] = big
 
+    # planar per-supercluster child-box rows:
+    # [minx*S | miny*S | minz*S | maxx*S | maxy*S | maxz*S | 0*2S]
+    # (lane-contiguous coordinate planes, like the triangle rows)
+    cl_minmax = np.concatenate([vmin, vmax], axis=1)                # [K2,6]
+    planes = np.transpose(
+        cl_minmax.reshape(k1, S_CLUSTER, 6), (0, 2, 1)
+    ).reshape(k1, 6 * S_CLUSTER)
+    cl_box_rows = np.concatenate(
+        [planes, np.zeros((k1, 2 * S_CLUSTER), np.float32)], axis=1
+    )
+    # flat per-cluster boxes (for the one-level dense path)
     cl_box = np.concatenate(
         [vmin, vmax, np.zeros((k2_pad, 2), np.float32)], axis=1
     )                                                               # [K2,8]
@@ -131,8 +160,9 @@ def build_clusters(triangles: np.ndarray, order: np.ndarray | None = None,
 
     return ClusterScene(
         sc_box=jnp.asarray(sc_box),
-        cl_box_rows=jnp.asarray(cl_box.reshape(k1, S_CLUSTER * 8)),
-        cl_tris=jnp.asarray(grouped.reshape(k2_pad, T_CLUSTER * 9)),
+        cl_box_rows=jnp.asarray(cl_box_rows),
+        cl_box=jnp.asarray(cl_box),
+        cl_tris=jnp.asarray(planar),
         cl_tri_idx=jnp.asarray(tri_idx.reshape(k2_pad, T_CLUSTER)),
         p1_budget=p1_budget or 16 * 1024,
         p2_budget=p2_budget or 64 * 1024,
@@ -166,42 +196,17 @@ def _slab_dense(boxes, o, inv_d, t_lim):
 
 
 def _expand_pairs(mask, budget):
-    """mask [A,C] -> (row_idx [P], col_idx [P], valid [P], overflowed)."""
-    r, c = jnp.nonzero(
-        mask, size=budget, fill_value=(mask.shape[0], mask.shape[1])
-    )
-    count = jnp.sum(mask)
-    valid = jnp.arange(budget) < count
-    return r, c, valid, count > budget
+    """mask [A,C] -> (row_idx [P], col_idx [P], valid [P], overflowed).
+    Invalid entries carry (A, C) like jnp.nonzero's fill_value would."""
+    r, c, valid, overflow = _compact_mask(mask, budget)
+    r = jnp.where(valid, r, mask.shape[0])
+    c = jnp.where(valid, c, mask.shape[1])
+    return r, c, valid, overflow
 
 
 def _mt_block(tri_rows, o, d):
-    """MT on [P, T*9] triangle rows vs per-pair rays [P,3] -> t [P,T]."""
-    P = tri_rows.shape[0]
-    tri = tri_rows.reshape(P, T_CLUSTER, 3, 3)
-    va = tri[:, :, 0, :]
-    e1 = tri[:, :, 1, :] - va
-    e2 = tri[:, :, 2, :] - va
-    dv = d[:, None, :]
-    ov = o[:, None, :]
-    h = jnp.cross(dv, e2)
-    a = jnp.sum(e1 * h, axis=-1)
-    parallel = jnp.abs(a) < EPS
-    f = 1.0 / jnp.where(parallel, 1.0, a)
-    s = ov - va
-    u = f * jnp.sum(s * h, axis=-1)
-    q = jnp.cross(s, e1)
-    v = f * jnp.sum(dv * q, axis=-1)
-    t = f * jnp.sum(e2 * q, axis=-1)
-    ok = (
-        (~parallel)
-        & (u >= 0.0)
-        & (u <= 1.0)
-        & (v >= 0.0)
-        & (u + v <= 1.0)
-        & (t > EPS)
-    )
-    return jnp.where(ok, t, BIG_T)
+    """MT on planar rows [P, 9*T] vs per-pair rays [P,3] -> t [P,T]."""
+    return _mt_rows_scalar(tri_rows, o, d)
 
 
 def _trace_pairs(scene: ClusterScene, ray_o, ray_d, t_lim):
@@ -216,24 +221,64 @@ def _trace_pairs(scene: ClusterScene, ray_o, ray_d, t_lim):
     r1c = jnp.minimum(r1, B - 1)
     s1c = jnp.minimum(s1, scene.num_superclusters - 1)
 
-    # phase 2: child cluster tests (one wide row-gather per pair)
-    child_boxes = scene.cl_box_rows[s1c].reshape(-1, S_CLUSTER, 8)
+    # phase 2: child cluster tests — one wide PLANAR row-gather per pair,
+    # scalarized slab math in [P1,S] lane-contiguous tiles
+    S = S_CLUSTER
+    rowsb = scene.cl_box_rows[s1c]                                # [P1,8S]
     o1 = ray_o[r1c]
     i1 = inv_d[r1c]
     tl1 = t_lim[r1c]
-    bmin = child_boxes[..., 0:3]
-    bmax = child_boxes[..., 3:6]
-    t0 = (bmin - o1[:, None]) * i1[:, None]
-    t1 = (bmax - o1[:, None]) * i1[:, None]
-    tnear = jnp.max(jnp.minimum(t0, t1), axis=-1)
-    tfar = jnp.min(jnp.maximum(t0, t1), axis=-1)
+    x0 = (rowsb[:, 0 * S:1 * S] - o1[:, 0:1]) * i1[:, 0:1]
+    y0 = (rowsb[:, 1 * S:2 * S] - o1[:, 1:2]) * i1[:, 1:2]
+    z0 = (rowsb[:, 2 * S:3 * S] - o1[:, 2:3]) * i1[:, 2:3]
+    x1 = (rowsb[:, 3 * S:4 * S] - o1[:, 0:1]) * i1[:, 0:1]
+    y1 = (rowsb[:, 4 * S:5 * S] - o1[:, 1:2]) * i1[:, 1:2]
+    z1 = (rowsb[:, 5 * S:6 * S] - o1[:, 2:3]) * i1[:, 2:3]
+    tnear = jnp.maximum(
+        jnp.maximum(jnp.minimum(x0, x1), jnp.minimum(y0, y1)),
+        jnp.minimum(z0, z1),
+    )
+    tfar = jnp.minimum(
+        jnp.minimum(jnp.maximum(x0, x1), jnp.maximum(y0, y1)),
+        jnp.maximum(z0, z1),
+    )
     m2 = (tnear <= tfar) & (tfar > EPS) & (tnear < tl1[:, None])
     m2 = m2 & valid1[:, None]                                     # [P1,S]
 
-    p2_idx, c2_local, valid2, of2 = _expand_pairs(m2, scene.p2_budget)
-    p2c = jnp.minimum(p2_idx, scene.p1_budget - 1)
-    r2 = r1c[p2c]                                                 # ray ids
-    c2 = s1c[p2c] * S_CLUSTER + jnp.minimum(c2_local, S_CLUSTER - 1)
+    if scene.fanout > 0:
+        # Bound children per SC-pair to ``fanout`` via nearest-first argmin
+        # rounds (measured avg on mesh workloads is ~2.4 children/pair).
+        # This shrinks the phase-2 compaction's key sort from [P1,S] to
+        # [P1,F] — the [P1,S] sort alone costs ~125ms at dragon sizes (TPU
+        # sorts ~3M keys/ms).  Pairs with more hit children than F overflow
+        # (flagged) — opt-in for mesh scenes; fanout=0 keeps the exact path.
+        F = scene.fanout
+        lanes = jax.lax.broadcasted_iota(jnp.int32, m2.shape, 1)
+        m = m2
+        sel_cols = []
+        sel_ok = []
+        for _ in range(F):
+            tmask = jnp.where(m, tnear, BIG_T)
+            c = jnp.argmin(tmask, axis=1)                         # [P1]
+            ok = jnp.take_along_axis(m, c[:, None], axis=1)[:, 0]
+            sel_cols.append(c)
+            sel_ok.append(ok)
+            m = m & (lanes != c[:, None])
+        of_fanout = jnp.any(m)
+        mF = jnp.stack(sel_ok, axis=1)                            # [P1,F]
+        cF = jnp.stack(sel_cols, axis=1)                          # [P1,F]
+
+        p2_idx, f_idx, valid2, of2 = _expand_pairs(mF, scene.p2_budget)
+        p2c = jnp.minimum(p2_idx, scene.p1_budget - 1)
+        r2 = r1c[p2c]                                             # ray ids
+        c2_local = cF[p2c, jnp.minimum(f_idx, F - 1)]
+        c2 = s1c[p2c] * S_CLUSTER + c2_local
+        of2 = of2 | of_fanout
+    else:
+        p2_idx, c2_local, valid2, of2 = _expand_pairs(m2, scene.p2_budget)
+        p2c = jnp.minimum(p2_idx, scene.p1_budget - 1)
+        r2 = r1c[p2c]                                             # ray ids
+        c2 = s1c[p2c] * S_CLUSTER + jnp.minimum(c2_local, S_CLUSTER - 1)
 
     # phase 3: cluster triangle tests (one 2.3KB row-gather per pair)
     tri_rows = scene.cl_tris[c2]                                  # [P2,T*9]
@@ -241,6 +286,133 @@ def _trace_pairs(scene: ClusterScene, ray_o, ray_d, t_lim):
     t = jnp.where(valid2[:, None], t, BIG_T)
     slot_idx = scene.cl_tri_idx[c2]                               # [P2,T]
     return r2, t, slot_idx, valid2, of1 | of2
+
+
+def _compact_mask(mask2d, budget):
+    """Stream-compact True positions of mask [A,C] into (row [P], col [P],
+    valid [P], overflow) with P = budget, ordered row-major.
+
+    ONE lax.sort of int32 position keys (True -> position, False -> 2^30).
+    Measured on TPU v5e this is the only fast compaction: jnp.nonzero's
+    internal machinery costs ~10x more, and scatter lowers to a SERIAL
+    update loop (~1ms per 2k updates).  Sort throughput is ~8GB/s, so keep
+    the mask small (hierarchical levels), never sort the full dense mask.
+    """
+    A, Cc = mask2d.shape
+    n = A * Cc
+    sentinel = jnp.int32(2**30)
+    flat = mask2d.reshape(-1)
+    pos = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
+    keys = jnp.where(flat, pos, sentinel)
+    taken = jax.lax.sort(keys)[:budget]
+    valid = taken < sentinel
+    count = jnp.sum(flat)
+    safe = jnp.where(valid, taken, 0)
+    return safe // Cc, safe % Cc, valid, count > budget
+
+
+def _mt_rows_scalar(tri_rows, o, d):
+    """Scalarized Möller–Trumbore on PLANAR triangle rows [..., 9*T] vs
+    rays o/d (shape broadcastable to [..., 3] against the row batch dims).
+
+    All arithmetic stays in [..., T] tiles (xyz as separate lane-contiguous
+    planes — no [...,3] axis, no jnp.cross) so XLA fuses the whole chain on
+    the VPU without strided loads or materialized intermediates.  Returns
+    t [..., T] with BIG_T fills.
+    """
+    T = T_CLUSTER
+    r = tri_rows
+    ax = r[..., 0 * T:1 * T]
+    ay = r[..., 1 * T:2 * T]
+    az = r[..., 2 * T:3 * T]
+    bx = r[..., 3 * T:4 * T]
+    by = r[..., 4 * T:5 * T]
+    bz = r[..., 5 * T:6 * T]
+    cx = r[..., 6 * T:7 * T]
+    cy = r[..., 7 * T:8 * T]
+    cz = r[..., 8 * T:9 * T]
+    e1x, e1y, e1z = bx - ax, by - ay, bz - az
+    e2x, e2y, e2z = cx - ax, cy - ay, cz - az
+    dx = d[..., 0:1]
+    dy = d[..., 1:2]
+    dz = d[..., 2:3]
+    ox = o[..., 0:1]
+    oy = o[..., 1:2]
+    oz = o[..., 2:3]
+
+    hx = dy * e2z - dz * e2y
+    hy = dz * e2x - dx * e2z
+    hz = dx * e2y - dy * e2x
+    a = e1x * hx + e1y * hy + e1z * hz
+    parallel = jnp.abs(a) < EPS
+    f = 1.0 / jnp.where(parallel, 1.0, a)
+    sx, sy, sz = ox - ax, oy - ay, oz - az
+    u = f * (sx * hx + sy * hy + sz * hz)
+    qx = sy * e1z - sz * e1y
+    qy = sz * e1x - sx * e1z
+    qz = sx * e1y - sy * e1x
+    v = f * (dx * qx + dy * qy + dz * qz)
+    t = f * (e2x * qx + e2y * qy + e2z * qz)
+    ok = (
+        (~parallel)
+        & (u >= 0.0)
+        & (u <= 1.0)
+        & (v >= 0.0)
+        & (u + v <= 1.0)
+        & (t > EPS)
+    )
+    return jnp.where(ok, t, BIG_T)
+
+
+def _dense_cluster_mask(scene: ClusterScene, ray_o, inv_d, t_lim):
+    """Slab-test ALL clusters against all rays: [B,K2] (dense, scalarized)."""
+    boxes = scene.cl_box                               # [K2,8]
+    ox, oy, oz = ray_o[:, 0:1], ray_o[:, 1:2], ray_o[:, 2:3]
+    ix, iy, iz = inv_d[:, 0:1], inv_d[:, 1:2], inv_d[:, 2:3]
+    x0 = (boxes[None, :, 0] - ox) * ix                 # [B,K2]
+    y0 = (boxes[None, :, 1] - oy) * iy
+    z0 = (boxes[None, :, 2] - oz) * iz
+    x1 = (boxes[None, :, 3] - ox) * ix
+    y1 = (boxes[None, :, 4] - oy) * iy
+    z1 = (boxes[None, :, 5] - oz) * iz
+    tnear = jnp.maximum(
+        jnp.maximum(jnp.minimum(x0, x1), jnp.minimum(y0, y1)),
+        jnp.minimum(z0, z1),
+    )
+    tfar = jnp.minimum(
+        jnp.minimum(jnp.maximum(x0, x1), jnp.maximum(y0, y1)),
+        jnp.maximum(z0, z1),
+    )
+    hit = (tnear <= tfar) & (tfar > EPS) & (tnear < t_lim[:, None])
+    return hit, tnear
+
+
+def closest_hit_topk(scene: ClusterScene, ray_o, ray_d, k_clusters: int = 32):
+    """Closest-hit with per-call budgets derived from ``k_clusters``
+    (the AVERAGE (ray,cluster) pair budget per ray — measured densities are
+    ~2/ray for camera rays, ~18/ray for surface-origin rays).
+
+    Thin wrapper over the hierarchical pair tracer: the one-level dense
+    variants were abandoned — every global selection primitive at
+    [B,K2]-dense scale is pathological on TPU (top_k => ~100ms full f32
+    sort; jnp.nonzero => same sort + overhead; scatter => SERIAL loop).
+    The hierarchy keeps every compaction's key-sort small.
+    """
+    B = ray_o.shape[0]
+    s = scene.with_budgets(
+        max(64, B * max(2, k_clusters // 2)), max(64, B * k_clusters)
+    )
+    return closest_hit(s, ray_o, ray_d)
+
+
+def any_hit_topk(scene: ClusterScene, ray_o, ray_d, t_max,
+                 k_clusters: int = 32):
+    """Occlusion wrapper with per-call budgets (see closest_hit_topk)."""
+    B = ray_o.shape[0]
+    s = scene.with_budgets(
+        max(64, B * max(2, k_clusters // 2)), max(64, B * k_clusters)
+    )
+    return any_hit(s, ray_o, ray_d, t_max)
 
 
 def closest_hit(scene: ClusterScene, ray_o, ray_d):

@@ -58,7 +58,7 @@ def render_sharded(scene: Scene, camera: Camera, config: RenderConfig,
         k = jax.random.fold_in(jax.random.fold_in(key, s_idx), d_idx)
         hdr = pathtracer.render_rays(
             scene, camera, px, py, W, H, k, spp_shard, config.bounces,
-            config.intersect,
+            config.intersect, True, config.estimator,
         )
         return jax.lax.pmean(hdr, "sample")
 
@@ -83,44 +83,61 @@ def render_sharded_jit(scene: Scene, camera: Camera, config: RenderConfig,
     return f(scene, camera, key)
 
 
-def _scene_loss(materials, env_image, camera, scene: Scene, target,
-                px, py, config: RenderConfig, key, spp_shard: int):
-    """L2 image loss of a sample-shard render against a target shard."""
+def _shard_render(materials, env_image, camera, scene: Scene,
+                  px, py, config: RenderConfig, key, spp_shard: int):
+    """Render this shard's rays/samples with the given scene parameters."""
     scene = scene.with_materials(materials)
     if env_image is not None:
         scene = scene.with_env_map(env_image)
-    hdr = pathtracer.render_rays(
+    return pathtracer.render_rays(
         scene, camera, px, py, config.width, config.height, key,
-        spp_shard, config.bounces, config.intersect,
+        spp_shard, config.bounces, config.intersect, True, config.estimator,
     )
-    return jnp.mean((hdr - target) ** 2)
 
 
 def make_train_step(scene: Scene, config: RenderConfig, mesh: Mesh,
                     optimize_env: bool = True):
     """Build a jitted distributed inverse-rendering step.
 
-    step(materials, env_image, camera, target[H*W pad,3], px, py, key)
-      -> (loss, grads_materials, grads_env)
+    step(materials, env_image, target_materials, target_env, camera,
+         px, py, key) -> (loss, grads)
+
+    The target is rendered INSIDE the step with the SAME per-shard RNG
+    streams as the guess (common random numbers): the MC noise cancels in
+    the residual, so the loss is exactly 0 at the true parameters and the
+    gradient signal isn't buried under the sampling-noise floor (which is
+    ~7x larger than a 0.2-albedo perturbation at low spp).  Loss is MSE in
+    log1p space so emitter pixels (~100x brighter) don't drown materials.
 
     Per-shard gradients are psum-averaged over the whole mesh inside
-    shard_map (ICI all-reduce overlapped by XLA with the backward pass).
+    shard_map (ICI all-reduce, overlapped by XLA with the backward pass).
     """
     n_sample = mesh.shape["sample"]
     spp_shard = max(1, config.samples // n_sample)
 
-    def shard_fn(materials, env_image, camera, target, px, py, key):
+    def shard_fn(materials, env_image, target_materials, target_env,
+                 camera, px, py, key):
         s_idx = jax.lax.axis_index("sample")
         d_idx = jax.lax.axis_index("data")
         k = jax.random.fold_in(jax.random.fold_in(key, s_idx), d_idx)
+
+        target = jax.lax.stop_gradient(
+            _shard_render(
+                target_materials, target_env, camera, scene, px, py,
+                config, k, spp_shard,
+            )
+        )
         args = (materials, env_image) if optimize_env else (materials,)
 
         def loss_fn(*diff_args):
             mats = diff_args[0]
             env = diff_args[1] if optimize_env else env_image
-            return _scene_loss(
-                mats, env, camera, scene, target, px, py, config, k, spp_shard
+            hdr = _shard_render(
+                mats, env, camera, scene, px, py, config, k, spp_shard
             )
+            a = jnp.log1p(jnp.maximum(hdr, 0.0))
+            b = jnp.log1p(jnp.maximum(target, 0.0))
+            return jnp.mean((a - b) ** 2)
 
         loss, grads = jax.value_and_grad(loss_fn, argnums=tuple(
             range(len(args))
@@ -134,7 +151,7 @@ def make_train_step(scene: Scene, config: RenderConfig, mesh: Mesh,
     fn = shard_map(
         shard_fn,
         mesh=mesh,
-        in_specs=(P(), P(), P(), P("data"), P("data"), P("data"), P()),
+        in_specs=(P(), P(), P(), P(), P(), P("data"), P("data"), P()),
         out_specs=(P(), P()),
         check_vma=False,
     )

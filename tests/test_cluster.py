@@ -160,3 +160,80 @@ def test_sah_order_build():
     np.testing.assert_allclose(
         np.asarray(t)[m], np.asarray(oracle.t)[m], rtol=1e-5
     )
+
+
+def test_topk_tracer_matches_oracle():
+    from sycl_ray_tracing_tpu.ops.cluster import any_hit_topk, closest_hit_topk
+
+    rng = np.random.default_rng(44)
+    centers = rng.uniform(-8, 8, (5000, 1, 3)).astype(np.float32)
+    tris = jnp.asarray(
+        centers + rng.uniform(-0.08, 0.08, (5000, 3, 3)).astype(np.float32)
+    )
+    o, d = _random_rays(512, rng, -9, 9)
+    cs = build_clusters(np.asarray(tris))
+    oracle = intersect_triangles(o, d, tris)
+    t, prim, overflow = closest_hit_topk(cs, o, d, 32)
+    assert not bool(overflow)
+    np.testing.assert_array_equal(np.asarray(prim >= 0), np.asarray(oracle.hit))
+    m = np.asarray(oracle.hit)
+    np.testing.assert_allclose(
+        np.asarray(t)[m], np.asarray(oracle.t)[m], rtol=1e-5
+    )
+    for tmax_val in (1.0, 5.0, 1e30):
+        t_max = jnp.full((512,), tmax_val, jnp.float32)
+        got = np.asarray(any_hit_topk(cs, o, d, t_max, 32))
+        want = np.asarray(oracle.hit & (oracle.t + 1e-4 < t_max))
+        np.testing.assert_array_equal(got, want)
+
+
+def test_topk_nearest_first_pruning_correct():
+    """Phase-B pruning by phase-A's best t must never drop the true
+    closest hit (tnear ordering guarantees it)."""
+    from sycl_ray_tracing_tpu.ops.cluster import closest_hit_topk
+
+    rng = np.random.default_rng(45)
+    # long thin corridor of clusters so rays cross many clusters in depth
+    tris = []
+    for z in range(40):
+        block = rng.uniform(-1, 1, (70, 3, 3)).astype(np.float32)
+        block[..., 2] = block[..., 2] * 0.3 - 2.0 * z
+        tris.append(block)
+    tris = jnp.asarray(np.concatenate(tris))
+    o = jnp.asarray(
+        np.stack(
+            [rng.uniform(-0.5, 0.5, 128), rng.uniform(-0.5, 0.5, 128),
+             np.full(128, 5.0)], axis=1
+        ).astype(np.float32)
+    )
+    d = jnp.tile(jnp.array([[0.0, 0.0, -1.0]], jnp.float32), (128, 1))
+    cs = build_clusters(np.asarray(tris))
+    oracle = intersect_triangles(o, d, tris)
+    t, prim, overflow = closest_hit_topk(cs, o, d, 128)
+    assert not bool(overflow)
+    m = np.asarray(oracle.hit)
+    np.testing.assert_array_equal(np.asarray(prim >= 0), m)
+    np.testing.assert_allclose(
+        np.asarray(t)[m], np.asarray(oracle.t)[m], rtol=1e-5
+    )
+
+
+def test_fanout_path_matches_oracle_on_mesh():
+    """The bounded-fanout fast path agrees with the oracle on a mesh-like
+    scene (low children-per-supercluster density)."""
+    from sycl_ray_tracing_tpu.utils.procedural import dragon_standin
+
+    tris_np = dragon_standin(20_000)
+    tris = jnp.asarray(tris_np)
+    rng = np.random.default_rng(3)
+    o, d = _random_rays(256, rng, -3, 3)
+    cs = build_clusters(tris_np).with_budgets(256 * 16, 256 * 48)
+    cs = cs.with_fanout(24)
+    oracle = intersect_triangles(o, d, tris)
+    t, prim, overflow = closest_hit(cs, o, d)
+    assert not bool(overflow)
+    np.testing.assert_array_equal(np.asarray(prim >= 0), np.asarray(oracle.hit))
+    m = np.asarray(oracle.hit)
+    np.testing.assert_allclose(
+        np.asarray(t)[m], np.asarray(oracle.t)[m], rtol=1e-5
+    )

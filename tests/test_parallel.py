@@ -62,22 +62,34 @@ def test_train_step_grads(cornell_scene, test_env_map, rng_key):
     scene = cornell_scene.with_env_map(jnp.asarray(test_env_map))
     step = make_train_step(scene, cfg, mesh, optimize_env=True)
 
-    B = cfg.width * cfg.height
+    import dataclasses
+
     ys, xs = jnp.meshgrid(
         jnp.arange(cfg.height, dtype=jnp.float32),
         jnp.arange(cfg.width, dtype=jnp.float32),
         indexing="ij",
     )
-    target = jnp.ones((B, 3), jnp.float32) * 0.5
+    # guess = perturbed materials; target = true materials (rendered inside
+    # the step under common random numbers)
+    guess = dataclasses.replace(
+        scene.materials, diffuse=jnp.clip(scene.materials.diffuse + 0.2, 0, 1)
+    )
     loss, grads = step(
-        scene.materials, scene.env_map.image, cornell_box_camera(),
-        target, xs.reshape(-1), ys.reshape(-1), rng_key,
+        guess, scene.env_map.image, scene.materials, scene.env_map.image,
+        cornell_box_camera(), xs.reshape(-1), ys.reshape(-1), rng_key,
     )
     assert np.isfinite(float(loss))
+    assert float(loss) > 0.0
     g_mats, g_env = grads
     for leaf in jax.tree.leaves(g_mats):
         assert np.isfinite(np.asarray(leaf)).all()
     assert np.isfinite(np.asarray(g_env)).all()
-    # at least roughness or diffuse gradient is non-zero
     total = sum(float(jnp.sum(jnp.abs(l))) for l in jax.tree.leaves(g_mats))
     assert total > 0.0
+    # at the true parameters the common-random-numbers loss is exactly 0
+    loss0, _ = step(
+        scene.materials, scene.env_map.image, scene.materials,
+        scene.env_map.image, cornell_box_camera(),
+        xs.reshape(-1), ys.reshape(-1), rng_key,
+    )
+    assert float(loss0) < 1e-6
