@@ -80,7 +80,18 @@ def main(argv=None) -> int:
     ldr = np.asarray(tonemap(hdr))
     write_png("RT_output.png", ldr)
     write_hdr("RT_output.hdr", hdr_np)
-    print("wrote RT_output.png, RT_output.hdr")
+    outputs = ["RT_output.png", "RT_output.hdr"]
+
+    # denoised blends, like the reference's three OIDN outputs
+    # (main.cpp:118-125) but via the in-tree a-trous denoiser
+    from sycl_ray_tracing_tpu.utils.denoise import denoise
+
+    for blend in (1.0, 0.75, 0.5):
+        den = denoise(hdr, blend=blend)
+        name = f"RT_output_denoised_{blend:g}.png"
+        write_png(name, np.asarray(tonemap(den)))
+        outputs.append(name)
+    print("wrote " + ", ".join(outputs))
     return 0
 
 

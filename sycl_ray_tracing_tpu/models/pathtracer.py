@@ -148,8 +148,19 @@ def occluded(scene: Scene, ray_o, ray_d, t_max=None, backend: str = "auto"):
             )
             blocked = blocked | (s_hit.hit & (s_hit.t + 1e-4 < t_max))
         return blocked
-    hit = intersect_scene(scene, ray_o, ray_d, backend)
-    return hit.hit & (hit.t + 1e-4 < t_max)
+    # brute backend: dense any-hit (no argmin / hit-record finalize)
+    from sycl_ray_tracing_tpu.ops.intersect import any_hit_triangles
+
+    blocked = any_hit_triangles(ray_o, ray_d, scene.triangles, t_max - 1e-4)
+    if scene.num_spheres > 0:
+        n = scene.num_triangles
+        sphere_prim = n + jnp.arange(scene.num_spheres, dtype=jnp.int32)
+        s_hit = intersect_spheres(
+            ray_o, ray_d, scene.sphere_centers, scene.sphere_radii,
+            sphere_prim,
+        )
+        blocked = blocked | (s_hit.hit & (s_hit.t + 1e-4 < t_max))
+    return blocked
 
 
 def _material_of_prim(scene: Scene, prim):
@@ -608,28 +619,46 @@ def trace_shared(scene: Scene, ray_o, ray_d, key, bounces: int,
 def render_rays(scene: Scene, camera: Camera, px, py,
                 width: int, height: int, key, samples: int, bounces: int,
                 backend: str = "auto", nee: bool = True,
-                estimator: str = "parity"):
+                estimator: str = "parity", samples_per_pass: int = 1,
+                max_radiance=None):
     """Average ``samples`` jittered paths per pixel; returns HDR [B,3].
 
     Jitter matches the reference: uniform in [c-0.5, c+0.5) around pixel
     centers (render_kernel.cpp:88-89).
+
+    ``samples_per_pass`` batches that many samples' rays into one wavefront
+    per scan step (bigger batches amortize per-op overheads on small
+    scenes; the estimator is unchanged — streams are keyed per sample).
     """
     B = px.shape[0]
+    P = max(1, samples_per_pass)
+    if samples % P != 0:
+        raise ValueError("samples must divide by samples_per_pass")
+    if P == 1:
+        px_rep, py_rep = px, py
+    else:
+        px_rep = jnp.tile(px, P)
+        py_rep = jnp.tile(py, P)
 
     def sample_body(accum, s):
         ks = jax.random.fold_in(key, s)
-        uj = _uniforms(ks, 0, _JITTER, (B, 2))
-        jx = px + 0.5 + uj[:, 0] - 1.0
-        jy = py + 0.5 + uj[:, 1] - 1.0
+        uj = _uniforms(ks, 0, _JITTER, (B * P, 2))
+        jx = px_rep + 0.5 + uj[:, 0] - 1.0
+        jy = py_rep + 0.5 + uj[:, 1] - 1.0
         ro, rd = camera.generate_rays(jx, jy, width, height)
         if estimator == "shared" and nee:
             rad = trace_shared(scene, ro, rd, ks, bounces, backend)
         else:
             rad = trace(scene, ro, rd, ks, bounces, backend, nee)
+        if max_radiance is not None:
+            # per-sample firefly clamp (biased, like all production clamps)
+            rad = jnp.minimum(rad, max_radiance)
+        if P > 1:
+            rad = rad.reshape(P, B, 3).sum(axis=0)
         return accum + rad, None
 
     accum, _ = jax.lax.scan(
-        sample_body, jnp.zeros((B, 3), jnp.float32), jnp.arange(samples)
+        sample_body, jnp.zeros((B, 3), jnp.float32), jnp.arange(samples // P)
     )
     return accum / samples
 
@@ -647,7 +676,8 @@ def render(scene: Scene, camera: Camera, config: RenderConfig, key):
         py = jnp.array([float(y0)], jnp.float32)
         hdr = render_rays(
             scene, camera, px, py, W, H, key, config.samples, config.bounces,
-            config.intersect, True, config.estimator,
+            config.intersect, True, config.estimator, config.samples_per_pass,
+            config.max_radiance,
         )
         return hdr.reshape(1, 1, 3)
     ys, xs = jnp.meshgrid(
@@ -663,7 +693,8 @@ def render(scene: Scene, camera: Camera, config: RenderConfig, key):
     if tile is None or tile >= B:
         hdr = render_rays(
             scene, camera, px, py, W, H, key, config.samples, config.bounces,
-            config.intersect, True, config.estimator,
+            config.intersect, True, config.estimator, config.samples_per_pass,
+            config.max_radiance,
         )
         return hdr.reshape(H, W, 3)
 
@@ -679,7 +710,8 @@ def render(scene: Scene, camera: Camera, config: RenderConfig, key):
         k = jax.random.fold_in(key, tidx)
         return render_rays(
             scene, camera, tpx, tpy, W, H, k, config.samples, config.bounces,
-            config.intersect, True, config.estimator,
+            config.intersect, True, config.estimator, config.samples_per_pass,
+            config.max_radiance,
         )
 
     hdr = jax.lax.map(

@@ -165,6 +165,43 @@ def make_scene(
     )
 
 
+def add_sphere(scene: Scene, center, radius: float,
+               emission=(0.0, 0.0, 0.0), diffuse=(1.0, 1.0, 1.0),
+               metalness: float = 0.0, roughness: float = 0.5) -> Scene:
+    """Insert an analytic sphere with its own material (the reference's
+    add_sphere_to_scene helper, main.cpp:20-30, made a real API)."""
+    mats = scene.materials
+    row = mats.count
+    new_mats = Materials(
+        emission=jnp.concatenate(
+            [mats.emission, jnp.asarray([emission], jnp.float32)]
+        ),
+        diffuse=jnp.concatenate(
+            [mats.diffuse, jnp.asarray([diffuse], jnp.float32)]
+        ),
+        metalness=jnp.concatenate(
+            [mats.metalness, jnp.asarray([metalness], jnp.float32)]
+        ),
+        roughness=jnp.concatenate(
+            [mats.roughness,
+             jnp.asarray([max(1e-2, roughness)], jnp.float32)]
+        ),
+    )
+    return dataclasses.replace(
+        scene,
+        materials=new_mats,
+        sphere_centers=jnp.concatenate(
+            [scene.sphere_centers, jnp.asarray([center], jnp.float32)]
+        ),
+        sphere_radii=jnp.concatenate(
+            [scene.sphere_radii, jnp.asarray([radius], jnp.float32)]
+        ),
+        sphere_material=jnp.concatenate(
+            [scene.sphere_material, jnp.asarray([row], jnp.int32)]
+        ),
+    )
+
+
 def make_materials(emission, diffuse, metalness, roughness) -> Materials:
     return Materials(
         emission=jnp.asarray(emission, jnp.float32),

@@ -87,6 +87,62 @@ def lookat(eye, target, up) -> jnp.ndarray:
     return jnp.eye(4, dtype=jnp.float32).at[:3, :4].set(cols)
 
 
+def scale(x, y=None, z=None) -> jnp.ndarray:
+    """Scale transform (mat.cpp Scale); scale(s) = uniform."""
+    if y is None:
+        y = x
+    if z is None:
+        z = x
+    return jnp.diag(
+        jnp.array(
+            [float(x) if not hasattr(x, "shape") else x,
+             float(y) if not hasattr(y, "shape") else y,
+             float(z) if not hasattr(z, "shape") else z,
+             1.0],
+            jnp.float32,
+        )
+    )
+
+
+def perspective(fov_degrees: float, aspect: float, znear: float,
+                zfar: float) -> jnp.ndarray:
+    """Perspective projection (mat.cpp Perspective, gkit convention)."""
+    import math
+
+    itan = 1.0 / math.tan(math.radians(fov_degrees) * 0.5)
+    m = jnp.zeros((4, 4), jnp.float32)
+    m = m.at[0, 0].set(itan / aspect)
+    m = m.at[1, 1].set(itan)
+    m = m.at[2, 2].set(-(zfar + znear) / (zfar - znear))
+    m = m.at[2, 3].set(-2.0 * zfar * znear / (zfar - znear))
+    m = m.at[3, 2].set(-1.0)
+    return m
+
+
+def orthographic(left: float, right: float, bottom: float, top: float,
+                 znear: float, zfar: float) -> jnp.ndarray:
+    """Orthographic projection (mat.cpp Ortho)."""
+    m = jnp.eye(4, dtype=jnp.float32)
+    m = m.at[0, 0].set(2.0 / (right - left))
+    m = m.at[1, 1].set(2.0 / (top - bottom))
+    m = m.at[2, 2].set(-2.0 / (zfar - znear))
+    m = m.at[0, 3].set(-(right + left) / (right - left))
+    m = m.at[1, 3].set(-(top + bottom) / (top - bottom))
+    m = m.at[2, 3].set(-(zfar + znear) / (zfar - znear))
+    return m
+
+
+def viewport(width: float, height: float) -> jnp.ndarray:
+    """NDC -> pixel viewport transform (mat.cpp Viewport)."""
+    w = width / 2.0
+    h = height / 2.0
+    m = jnp.eye(4, dtype=jnp.float32)
+    m = m.at[0, 0].set(w).at[0, 3].set(w)
+    m = m.at[1, 1].set(h).at[1, 3].set(h)
+    m = m.at[2, 2].set(0.5).at[2, 3].set(0.5)
+    return m
+
+
 def compose(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """a @ b: apply ``b`` first, then ``a`` (row-major like mat.h)."""
     return a @ b

@@ -37,6 +37,9 @@ class RenderConfig:
     #  "parity" — reference structure: 3 independent GGX samples, 5 scene
     #             queries per bounce (render_kernel.cpp:633-713,569-631)
     estimator: str = "shared"
+    # clamp per-sample radiance (firefly suppression; None = unbiased).
+    # Introduces bounded darkening bias like every production clamp.
+    max_radiance: Optional[float] = None
 
     def __post_init__(self):
         if self.intersect not in ("auto", "brute", "bvh", "cluster"):
@@ -72,6 +75,10 @@ def parse_cli(argv) -> tuple[RenderConfig, str, str]:
             kw["camera"] = arg[len("--camera="):]
         elif arg.startswith("--intersect="):
             kw["intersect"] = arg[len("--intersect="):]
+        elif arg.startswith("--estimator="):
+            kw["estimator"] = arg[len("--estimator="):]
+        elif arg.startswith("--spp-pass="):
+            kw["samples_per_pass"] = int(arg[len("--spp-pass="):])
         else:
             obj_path = arg
     return RenderConfig(**kw), obj_path, sky_path

@@ -43,6 +43,32 @@ def write_png(path: str, image: np.ndarray, flip_y: bool = True) -> None:
         f.write(_chunk(b"IEND", b""))
 
 
+def write_bmp(path: str, image: np.ndarray, flip_y: bool = True) -> None:
+    """Write [H,W,3] float [0,1] (or uint8) as a 24-bit BMP
+    (reference image_io.cpp write_image_bmp parity)."""
+    img = np.asarray(image)
+    if img.dtype != np.uint8:
+        img = (np.clip(img, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
+    if flip_y:
+        img = img[::-1]
+    h, w = img.shape[:2]
+    # BMP stores bottom-up BGR with 4-byte row padding
+    row = img[::-1, :, ::-1]
+    pad = (-(w * 3)) % 4
+    rows = b"".join(
+        row[y].tobytes() + b"\x00" * pad for y in range(h)
+    )
+    size = 54 + len(rows)
+    header = struct.pack(
+        "<2sIHHIIiiHHIIiiII",
+        b"BM", size, 0, 0, 54,
+        40, w, h, 1, 24, 0, len(rows), 2835, 2835, 0, 0,
+    )
+    with open(path, "wb") as f:
+        f.write(header)
+        f.write(rows)
+
+
 def read_png(path: str) -> np.ndarray:
     """Tiny PNG reader for round-trip tests (8-bit RGB/RGBA, no interlace)."""
     with open(path, "rb") as f:

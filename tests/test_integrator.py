@@ -204,3 +204,12 @@ def test_tiled_render_matches_untiled(cornell_scene):
     mask = (a < 5) & (b < 5)
     rel = np.abs(a - b) / (a + b + 0.2)
     assert rel[mask].mean() < 0.25  # MC noise at 32 spp
+
+
+def test_firefly_clamp(cornell_scene, rng_key):
+    cfg = RenderConfig(width=16, height=16, samples=4, bounces=2,
+                       max_radiance=2.0, tile_rays=None)
+    cam = cornell_box_camera()
+    img = np.asarray(pathtracer.render(cornell_scene, cam, cfg, rng_key))
+    assert img.max() <= 2.0 + 1e-5
+    assert img.mean() > 0.05

@@ -84,3 +84,24 @@ def test_png_flip(tmp_path):
     write_png(p, img, flip_y=True)
     back = read_png(p)
     assert back[3].min() == 255  # ends up at the bottom of the PNG raster
+
+
+def test_bmp_writer(tmp_path):
+    from sycl_ray_tracing_tpu.utils.png import write_bmp
+
+    rng = np.random.default_rng(2)
+    img = rng.uniform(0, 1, (7, 5, 3)).astype(np.float32)
+    p = str(tmp_path / "x.bmp")
+    write_bmp(p, img, flip_y=False)
+    data = open(p, "rb").read()
+    assert data[:2] == b"BM"
+    import struct
+    size, = struct.unpack("<I", data[2:6])
+    assert size == len(data)
+    w, h = struct.unpack("<ii", data[18:26])
+    assert (w, h) == (5, 7)
+    # decode the first stored row (bottom row of the image) and compare
+    stride = 5 * 3 + ((-(5 * 3)) % 4)
+    row0 = np.frombuffer(data[54:54 + 15], np.uint8).reshape(5, 3)[:, ::-1]
+    expected = (np.clip(img[6], 0, 1) * 255 + 0.5).astype(np.uint8)
+    np.testing.assert_array_equal(row0, expected)

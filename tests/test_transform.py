@@ -82,3 +82,43 @@ def test_homogeneous_divide():
     m = T.identity().at[3, 3].set(2.0)
     p = jnp.array([[2.0, 4.0, 6.0]])
     np.testing.assert_allclose(T.apply_point(m, p), [[1.0, 2.0, 3.0]])
+
+
+def test_perspective_ortho_viewport():
+    # perspective maps a point on the near plane to z_ndc = -1
+    m = T.perspective(90.0, 1.0, 1.0, 10.0)
+    p = jnp.array([[0.0, 0.0, -1.0]])
+    np.testing.assert_allclose(T.apply_point(m, p)[0, 2], -1.0, atol=1e-5)
+    p_far = jnp.array([[0.0, 0.0, -10.0]])
+    np.testing.assert_allclose(T.apply_point(m, p_far)[0, 2], 1.0, atol=1e-5)
+
+    o = T.orthographic(-2.0, 2.0, -1.0, 1.0, 0.0, 10.0)
+    np.testing.assert_allclose(
+        T.apply_point(o, jnp.array([[2.0, 1.0, -10.0]])),
+        [[1.0, 1.0, 1.0]], atol=1e-6,
+    )
+
+    v = T.viewport(640.0, 480.0)
+    np.testing.assert_allclose(
+        T.apply_point(v, jnp.array([[0.0, 0.0, 0.0]])),
+        [[320.0, 240.0, 0.5]], atol=1e-5,
+    )
+
+
+def test_scale():
+    m = T.scale(2.0, 3.0, 4.0)
+    np.testing.assert_allclose(
+        T.apply_point(m, jnp.array([[1.0, 1.0, 1.0]])), [[2.0, 3.0, 4.0]]
+    )
+
+
+def test_sphere_helper_lights_scene():
+    from sycl_ray_tracing_tpu.models.scene import add_sphere, make_materials, make_scene
+
+    tris = np.array([[[-1, 0, -1], [1, 0, 1], [1, 0, -1]]], np.float32)
+    mats = make_materials([(1, 0, 1)], [(0, 0, 0)], [0.0], [1.0])
+    scene = make_scene(tris, np.array([0], np.int32), mats)
+    scene = add_sphere(scene, (0.0, 1.0, 0.0), 0.25, diffuse=(1, 0, 0))
+    assert scene.num_spheres == 1
+    assert scene.materials.count == 2
+    assert int(scene.sphere_material[0]) == 1
