@@ -41,7 +41,9 @@ import numpy as np
 from sycl_ray_tracing_tpu.ops.intersect import BIG_T, Hit, _finalize_tri_hit
 from sycl_ray_tracing_tpu.ops.safe_math import EPS
 
-T_CLUSTER = 64       # triangles per cluster
+T_CLUSTER = 128      # triangles per cluster (measured sweet spot: gathers
+                     # cost ~10ns/row regardless of width, so fewer+bigger
+                     # rows win until [P,T] intermediates exhaust HBM)
 S_CLUSTER = 64       # clusters per supercluster
 SHADOW_EPS = 1e-4    # reference t_max slack (render_kernel.cpp:751)
 
@@ -171,11 +173,10 @@ def build_clusters(triangles: np.ndarray, order: np.ndarray | None = None,
 
 def default_budgets(num_rays: int, k1: int):
     """Heuristic pair budgets sized from measured densities on the dragon
-    workload: secondary (surface-origin) rays average ~7 supercluster pairs
-    and ~18 cluster pairs per ray; primaries are far sparser.  16x/32x
-    leaves ~2x headroom."""
-    p1 = min(num_rays * 16, num_rays * max(1, k1))
-    p2 = num_rays * 32
+    workload at T=128: surface-origin rays average ~5 supercluster pairs
+    and ~13 cluster pairs per ray; primaries are far sparser."""
+    p1 = min(num_rays * 8, num_rays * max(1, k1))
+    p2 = num_rays * 18
     return p1, p2
 
 
@@ -210,10 +211,21 @@ def _mt_block(tri_rows, o, d):
 
 
 def _trace_pairs(scene: ClusterScene, ray_o, ray_d, t_lim):
-    """Shared phases 1-3.  Returns (r2, t [P2,T], slot_idx [P2,T],
-    valid2 [P2], overflow)."""
+    """Shared phases 1-3.  Returns (r2, c2, t [P2,T], valid2 [P2],
+    tl2 [P2], overflow).
+
+    Gather discipline (gathers cost ~10ns PER ROW on this TPU, independent
+    of width): ray fields are packed into ONE [B,12] row array; phase-1
+    (ray, supercluster) ids are packed into one int payload carried through
+    the phase-2 compaction's own row-gather.
+    """
     B = ray_o.shape[0]
     inv_d = _inv_dir(ray_d)
+    # packed per-ray rows: o(3) d(3) inv(3) t_lim(1) pad(2)
+    rays12 = jnp.concatenate(
+        [ray_o, ray_d, inv_d, t_lim[:, None],
+         jnp.zeros((B, 2), ray_o.dtype)], axis=1
+    )
 
     # phase 1: dense supercluster tests
     m1 = _slab_dense(scene.sc_box, ray_o, inv_d, t_lim)          # [B,K1]
@@ -225,9 +237,10 @@ def _trace_pairs(scene: ClusterScene, ray_o, ray_d, t_lim):
     # scalarized slab math in [P1,S] lane-contiguous tiles
     S = S_CLUSTER
     rowsb = scene.cl_box_rows[s1c]                                # [P1,8S]
-    o1 = ray_o[r1c]
-    i1 = inv_d[r1c]
-    tl1 = t_lim[r1c]
+    rg1 = rays12[r1c]                                             # [P1,12]
+    o1 = rg1[:, 0:3]
+    i1 = rg1[:, 6:9]
+    tl1 = rg1[:, 9]
     x0 = (rowsb[:, 0 * S:1 * S] - o1[:, 0:1]) * i1[:, 0:1]
     y0 = (rowsb[:, 1 * S:2 * S] - o1[:, 1:2]) * i1[:, 1:2]
     z0 = (rowsb[:, 2 * S:3 * S] - o1[:, 2:3]) * i1[:, 2:3]
@@ -268,47 +281,92 @@ def _trace_pairs(scene: ClusterScene, ray_o, ray_d, t_lim):
         mF = jnp.stack(sel_ok, axis=1)                            # [P1,F]
         cF = jnp.stack(sel_cols, axis=1)                          # [P1,F]
 
-        p2_idx, f_idx, valid2, of2 = _expand_pairs(mF, scene.p2_budget)
-        p2c = jnp.minimum(p2_idx, scene.p1_budget - 1)
-        r2 = r1c[p2c]                                             # ray ids
-        c2_local = cF[p2c, jnp.minimum(f_idx, F - 1)]
-        c2 = s1c[p2c] * S_CLUSTER + c2_local
+        # pack (ray, supercluster, chosen child) through the compaction
+        payload = jnp.concatenate(
+            [r1c[:, None], s1c[:, None], cF], axis=1
+        )
+        p2c, f_idx, valid2, of2, pay = _compact_mask(
+            mF, scene.p2_budget, payload
+        )
+        r2 = pay[:, 0]
+        fcols = pay[:, 2:]
+        c2_local = jnp.take_along_axis(
+            fcols, jnp.minimum(f_idx, F - 1)[:, None], axis=1
+        )[:, 0]
+        c2 = pay[:, 1] * S_CLUSTER + c2_local
         of2 = of2 | of_fanout
     else:
-        p2_idx, c2_local, valid2, of2 = _expand_pairs(m2, scene.p2_budget)
-        p2c = jnp.minimum(p2_idx, scene.p1_budget - 1)
-        r2 = r1c[p2c]                                             # ray ids
-        c2 = s1c[p2c] * S_CLUSTER + jnp.minimum(c2_local, S_CLUSTER - 1)
+        payload = jnp.concatenate([r1c[:, None], s1c[:, None]], axis=1)
+        p2c, c2_local, valid2, of2, pay = _compact_mask(
+            m2, scene.p2_budget, payload
+        )
+        r2 = pay[:, 0]
+        c2 = pay[:, 1] * S_CLUSTER + jnp.minimum(c2_local, S_CLUSTER - 1)
 
-    # phase 3: cluster triangle tests (one 2.3KB row-gather per pair)
+    r2 = jnp.where(valid2, r2, B)
+    r2c = jnp.minimum(r2, B - 1)
+    # phase 3: cluster triangle tests (one 2.3KB row-gather per pair + the
+    # packed ray row)
     tri_rows = scene.cl_tris[c2]                                  # [P2,T*9]
-    t = _mt_block(tri_rows, ray_o[r2], ray_d[r2])                 # [P2,T]
+    rg2 = rays12[r2c]                                             # [P2,12]
+    t = _mt_block(tri_rows, rg2[:, 0:3], rg2[:, 3:6])             # [P2,T]
     t = jnp.where(valid2[:, None], t, BIG_T)
-    slot_idx = scene.cl_tri_idx[c2]                               # [P2,T]
-    return r2, t, slot_idx, valid2, of1 | of2
+    return r2, c2, t, valid2, rg2[:, 9], of1 | of2
 
 
-def _compact_mask(mask2d, budget):
+def _compact_mask(mask2d, budget, payload=None):
     """Stream-compact True positions of mask [A,C] into (row [P], col [P],
-    valid [P], overflow) with P = budget, ordered row-major.
+    valid [P], overflow[, payload_g [P,D]]) with P = budget, ordered
+    row-major.  EXACT.  ``payload`` [A,D] i32 rows, if given, are gathered
+    FUSED with the compaction's own row-gather (zero extra gathers).
 
-    ONE lax.sort of int32 position keys (True -> position, False -> 2^30).
-    Measured on TPU v5e this is the only fast compaction: jnp.nonzero's
-    internal machinery costs ~10x more, and scatter lowers to a SERIAL
-    update loop (~1ms per 2k updates).  Sort throughput is ~8GB/s, so keep
-    the mask small (hierarchical levels), never sort the full dense mask.
+    Inverted (gather-style) compaction — every TPU "forward" compaction
+    primitive is pathological (jnp.nonzero and lax.sort of keys: full sort
+    at ~3M keys/ms; scatter: SERIAL update loop).  Instead each OUTPUT slot
+    finds its source position:
+
+      * row bases = exclusive cumsum of per-row counts  [A]
+      * slot q's row  = searchsorted(bases, q)           (binary search)
+      * slot q's col  = rank-(q - base) set bit of its row, found by a
+        dense compare against the row's inclusive cumsum (one [P,C] tile)
+
+    Costs: two cumsums + a batched binary search + one [P,C] row-gather of
+    int8 cumsums — ~10x cheaper than the key-sort at [650k, 64] scale.
     """
     A, Cc = mask2d.shape
-    n = A * Cc
-    sentinel = jnp.int32(2**30)
-    flat = mask2d.reshape(-1)
-    pos = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
-    keys = jnp.where(flat, pos, sentinel)
-    taken = jax.lax.sort(keys)[:budget]
-    valid = taken < sentinel
-    count = jnp.sum(flat)
-    safe = jnp.where(valid, taken, 0)
-    return safe // Cc, safe % Cc, valid, count > budget
+    mi = mask2d.astype(jnp.int32)
+    cum = jnp.cumsum(mi, axis=1)                      # [A,C] inclusive
+    counts = cum[:, -1]                               # [A]
+    ends = jnp.cumsum(counts)                         # inclusive
+    total = ends[-1]
+    base = ends - counts                              # exclusive
+
+    q = jax.lax.broadcasted_iota(jnp.int32, (budget, 1), 0)[:, 0]
+    # method='sort': one merge-style key sort of [A + budget] — the default
+    # 'scan' method is a while_loop whose per-iteration fusion costs ~11ms
+    # at this scale (producer recomputation)
+    row = jnp.searchsorted(
+        ends, q, side="right", method="sort"
+    ).astype(jnp.int32)
+    rowc = jnp.minimum(row, A - 1)
+
+    # ONE row-gather serves the row base, the row's cumsum AND any caller
+    # payload: gathers on this TPU cost ~10ns PER ROW regardless of width,
+    # so fuse fields into rows instead of issuing narrow per-field gathers
+    parts = [base[:, None], cum]
+    if payload is not None:
+        parts.append(payload.astype(jnp.int32))
+    cumx = jnp.concatenate(parts, axis=1)             # [A, C+1(+D)]
+    cumx_g = cumx[rowc]                               # [P, C+1(+D)]
+    j = q - cumx_g[:, 0]                              # rank within row
+    col = jnp.sum(
+        (cumx_g[:, 1:Cc + 1] <= j[:, None]).astype(jnp.int32), axis=1
+    )
+    col = jnp.minimum(col, Cc - 1)
+    valid = q < total
+    if payload is not None:
+        return rowc, col, valid, total > budget, cumx_g[:, Cc + 1:]
+    return rowc, col, valid, total > budget
 
 
 def _mt_rows_scalar(tri_rows, o, d):
@@ -422,28 +480,30 @@ def closest_hit(scene: ClusterScene, ray_o, ray_d):
     """
     B = ray_o.shape[0]
     t_lim = jnp.full((B,), BIG_T, ray_o.dtype)
-    r2, t, slot_idx, valid2, overflow = _trace_pairs(
-        scene, ray_o, ray_d, t_lim
-    )
+    r2, c2, t, valid2, _, overflow = _trace_pairs(scene, ray_o, ray_d, t_lim)
 
-    # per-pair best triangle, then segment-min over pairs per ray
-    lane = jnp.argmin(t, axis=1)
-    pair_t = jnp.take_along_axis(t, lane[:, None], axis=1)[:, 0]
-    pair_prim = jnp.take_along_axis(slot_idx, lane[:, None], axis=1)[:, 0]
+    # per-pair closest triangle via pure reductions (no take_along gathers)
+    pair_t = jnp.min(t, axis=1)                               # [P2]
+    lane = jnp.argmin(t, axis=1)                              # fused reduce
+    pair_cl = c2 * T_CLUSTER + lane                           # packed winner
 
-    seg = jnp.where(valid2, r2, B)              # invalid pairs -> dump row
+    seg = r2                                    # invalid pairs -> dump row B
     best_t = jax.ops.segment_min(
         pair_t, seg, num_segments=B + 1, indices_are_sorted=True
     )[:B]
     best_t = jnp.minimum(best_t, BIG_T)
-    # winning primitive: segment_min over packed (t, prim) — use argmin via
-    # comparing pair_t against the segment best
+    # winner identification: one [P2] gather of the per-ray best + one
+    # scatter-max of the packed (cluster, lane)
     is_best = (pair_t <= best_t[jnp.minimum(seg, B - 1)]) & valid2
-    best_prim = jax.ops.segment_max(
-        jnp.where(is_best, pair_prim, -1), seg, num_segments=B + 1,
+    win = jax.ops.segment_max(
+        jnp.where(is_best, pair_cl, -1), seg, num_segments=B + 1,
         indices_are_sorted=True,
     )[:B]
-    best_prim = jnp.where(best_t < BIG_T, best_prim, -1)
+    # resolve the original triangle id at [B] scale (cheap)
+    win_c = jnp.maximum(win, 0) // T_CLUSTER
+    win_l = jnp.maximum(win, 0) % T_CLUSTER
+    best_prim = scene.cl_tri_idx[win_c, win_l]
+    best_prim = jnp.where((best_t < BIG_T) & (win >= 0), best_prim, -1)
     return best_t, best_prim, overflow
 
 
@@ -451,12 +511,10 @@ def any_hit(scene: ClusterScene, ray_o, ray_d, t_max):
     """Occlusion: True where any triangle lies at t < t_max - SHADOW_EPS."""
     B = ray_o.shape[0]
     t_lim = t_max - SHADOW_EPS
-    r2, t, _, valid2, _ = _trace_pairs(scene, ray_o, ray_d, t_lim)
-    pair_hit = jnp.any(t < t_lim[jnp.minimum(r2, B - 1)][:, None], axis=1)
-    pair_hit = pair_hit & valid2
-    seg = jnp.where(valid2, r2, B)
+    r2, _, t, valid2, tl2, _ = _trace_pairs(scene, ray_o, ray_d, t_lim)
+    pair_hit = jnp.any(t < tl2[:, None], axis=1) & valid2
     hits = jax.ops.segment_max(
-        pair_hit.astype(jnp.int32), seg, num_segments=B + 1,
+        pair_hit.astype(jnp.int32), r2, num_segments=B + 1,
         indices_are_sorted=True,
     )[:B]
     return hits > 0

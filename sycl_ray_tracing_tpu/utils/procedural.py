@@ -111,10 +111,12 @@ def dragon_scene(n_tris: int = 200_000, with_sky: bool = True,
     dragon = dragon_standin(n_tris - 12)
     # ground plane + emissive panel above
     g = 8.0
+    # wound so the geometric normal faces +y (shading is one-sided,
+    # matching the reference's un-flipped triangle normals)
     ground = np.array(
         [
-            [[-g, -1.6, -g], [g, -1.6, -g], [g, -1.6, g]],
-            [[-g, -1.6, -g], [g, -1.6, g], [-g, -1.6, g]],
+            [[-g, -1.6, -g], [g, -1.6, g], [g, -1.6, -g]],
+            [[-g, -1.6, -g], [-g, -1.6, g], [g, -1.6, g]],
         ],
         np.float32,
     )
