@@ -437,6 +437,47 @@ def trace_shared(scene: Scene, ray_o, ray_d, key, bounces: int,
     B = ray_o.shape[0]
     num_lights = scene.num_lights
     has_env = scene.env_map is not None
+    n_tris = scene.num_triangles
+
+    # Per-trace packed tables (built ONCE, outside the bounce scan): on TPU
+    # gathers cost ~10ns per ROW regardless of width, so per-bounce state
+    # fetches go through single wide row-gathers instead of many narrow ones.
+    mats = scene.materials
+    mat_packed = jnp.concatenate(
+        [mats.emission, mats.diffuse, mats.metalness[:, None],
+         mats.roughness[:, None]], axis=1
+    )                                                    # [M,8]
+    # per-primitive material rows (triangles, then spheres)
+    prim_rows = mat_packed[scene.material_indices]       # [N,8]
+    if scene.num_spheres > 0:
+        prim_rows = jnp.concatenate(
+            [prim_rows, mat_packed[scene.sphere_material]], axis=0
+        )
+
+    def lookup_prim(prim):
+        rows = prim_rows[jnp.clip(prim, 0, prim_rows.shape[0] - 1)]
+        return rows[:, 0:3], rows[:, 3:6], rows[:, 6], rows[:, 7]
+
+    if num_lights > 0:
+        # light rows: 9 vertex floats + 3 emission floats
+        light_rows = jnp.concatenate(
+            [
+                scene.triangles[scene.emissive_indices].reshape(-1, 9),
+                mats.emission[
+                    scene.material_indices[scene.emissive_indices]
+                ],
+            ],
+            axis=1,
+        )                                                # [K,12]
+        areas = scene.tri_areas
+        if areas is None:
+            from sycl_ray_tracing_tpu.ops.sampling import triangle_area
+
+            areas = triangle_area(scene.triangles)
+        # emitter rows for the MIS brdf term: emission3 + area1
+        emitter_rows = jnp.concatenate(
+            [mats.emission[scene.material_indices], areas[:, None]], axis=1
+        )                                                # [N,4]
 
     hit0 = intersect_scene(scene, ray_o, ray_d, backend)
 
@@ -444,8 +485,7 @@ def trace_shared(scene: Scene, ray_o, ray_d, key, bounces: int,
         ray_o, ray_d, hit, throughput, radiance, alive = carry
         live_hit = alive & hit.hit
 
-        mat_idx = _material_of_prim(scene, hit.prim)
-        emission, diffuse, metal, rough = scene.materials.lookup(mat_idx)
+        emission, diffuse, metal, rough = lookup_prim(hit.prim)
         view = -ray_d
 
         # emission only on primary hits (reference :126-127)
@@ -478,11 +518,11 @@ def trace_shared(scene: Scene, ray_o, ray_d, key, bounces: int,
             pick = jnp.minimum(
                 (u[:, 0] * num_lights).astype(jnp.int32), num_lights - 1
             )
-            light_tri_idx = scene.emissive_indices[pick]
-            tri = scene.triangles[light_tri_idx]
+            lr = light_rows[pick]                      # ONE [B,12] gather
             lp, ln, area = sample_triangle_uniform(
-                tri[:, 0], tri[:, 1], tri[:, 2], u[:, 1], u[:, 2]
+                lr[:, 0:3], lr[:, 3:6], lr[:, 6:9], u[:, 1], u[:, 2]
             )
+            light_emission = lr[:, 9:12]
             pdf_area = 1.0 / jnp.maximum(num_lights * area, 1e-12)
             to_light = lp - origin
             dist = jnp.linalg.norm(to_light, axis=-1)
@@ -492,9 +532,6 @@ def trace_shared(scene: Scene, ray_o, ray_d, key, bounces: int,
             shadowed = occluded(scene, origin, wi_l, dist, backend)
             light_pdf = pdf_area * dist * dist / jnp.maximum(cos_light, 1e-6)
             light_pdf = jnp.where(front, light_pdf, 1.0)
-            light_emission = scene.materials.emission[
-                _material_of_prim(scene, light_tri_idx)
-            ]
             brdf_l = cook_torrance_eval(
                 diffuse, metal, rough, wi_l, view, hit.normal
             )
@@ -511,18 +548,12 @@ def trace_shared(scene: Scene, ray_o, ray_d, key, bounces: int,
             )
 
             # --- light NEE: brdf-sample term via the SHARED sample/h2 ---
-            from sycl_ray_tracing_tpu.ops.sampling import triangle_area
-
-            n_tris = scene.num_triangles
+            er = emitter_rows[jnp.clip(h2.prim, 0, n_tris - 1)]  # ONE gather
+            hit_emission = er[:, 0:3]
+            light_area2 = er[:, 3]
             cos_at_light = jnp.maximum(0.0, dot(h2.normal, -wi_s))
-            hit_emission = scene.materials.emission[
-                _material_of_prim(scene, h2.prim)
-            ]
             is_emitter = jnp.any(hit_emission > 0.0, axis=-1) & (
                 h2.prim < n_tris
-            )
-            light_area2 = triangle_area(
-                scene.triangles[jnp.clip(h2.prim, 0, n_tris - 1)]
             )
             t2_safe = jnp.where(h2.hit, h2.t, 1.0)
             light_pdf2 = (t2_safe * t2_safe) / jnp.maximum(

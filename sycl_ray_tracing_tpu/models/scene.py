@@ -39,13 +39,23 @@ class Materials:
         return self.emission.shape[0]
 
     def lookup(self, idx: jnp.ndarray):
-        """Gather per-ray material parameters by index [...]."""
-        return (
-            self.emission[idx],
-            self.diffuse[idx],
-            self.metalness[idx],
-            self.roughness[idx],
+        """Gather per-ray material parameters by index [...].
+
+        ONE row-gather of a packed [M,8] table instead of four narrow
+        gathers — gathers cost ~10ns per ROW on TPU regardless of width.
+        The packing concat is [M,8] (tiny) and fully differentiable.
+        """
+        packed = jnp.concatenate(
+            [
+                self.emission,
+                self.diffuse,
+                self.metalness[:, None],
+                self.roughness[:, None],
+            ],
+            axis=1,
         )
+        rows = packed[idx]
+        return rows[..., 0:3], rows[..., 3:6], rows[..., 6], rows[..., 7]
 
 
 DEFAULT_MATERIAL = dict(
@@ -77,6 +87,7 @@ class Scene:
     env_map: Optional[EnvMapSampler]  # None -> black sky
     bvh: Optional[Any]                # ops.bvh.ThreadedBVH or None
     clusters: Optional[Any] = None    # ops.cluster.ClusterScene or None
+    tri_areas: Optional[jnp.ndarray] = None  # [N] precomputed areas
 
     @property
     def num_triangles(self) -> int:
@@ -152,6 +163,8 @@ def make_scene(
     if env_map_image is not None:
         env = build_sampler(jnp.asarray(env_map_image, jnp.float32))
 
+    from sycl_ray_tracing_tpu.ops.sampling import triangle_area
+
     return Scene(
         triangles=triangles,
         materials=materials,
@@ -162,6 +175,7 @@ def make_scene(
         sphere_material=jnp.asarray(sphere_material, jnp.int32),
         env_map=env,
         bvh=None,
+        tri_areas=triangle_area(triangles),
     )
 
 
