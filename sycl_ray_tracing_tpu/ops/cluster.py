@@ -526,11 +526,6 @@ def intersect_clusters(scene: ClusterScene, tris, ray_o, ray_d) -> Hit:
     o_ng = jax.lax.stop_gradient(ray_o)
     d_ng = jax.lax.stop_gradient(ray_d)
     _, prim, _ = closest_hit(scene, o_ng, d_ng)
+    from sycl_ray_tracing_tpu.ops.intersect import finalize_hit
 
-    safe_prim = jnp.maximum(prim, 0)
-    from sycl_ray_tracing_tpu.ops.intersect import moller_trumbore
-
-    t, _, _, valid = moller_trumbore(ray_o, ray_d, tris[safe_prim])
-    found = (prim >= 0) & valid
-    best_t = jnp.where(found, t, BIG_T)
-    return _finalize_tri_hit(ray_o, ray_d, tris, safe_prim, best_t)
+    return finalize_hit(ray_o, ray_d, tris, prim)

@@ -122,25 +122,69 @@ def intersect_triangles(ray_o, ray_d, tris):
     return _finalize_tri_hit(ray_o, ray_d, tris, best, best_t)
 
 
-def _finalize_tri_hit(ray_o, ray_d, tris, best, best_t):
-    """Recompute the full hit record for the winning triangle only."""
-    tri = tris[best]                                  # [R,3,3]
-    t, u, v, valid = moller_trumbore(ray_o, ray_d, tri)
-    hit = best_t < BIG_T
+def finalize_hit(ray_o, ray_d, tris, prim):
+    """Differentiable hit record for a chosen primitive per ray.
+
+    ONE planar row-gather ([R,9], no [R,3,3] layout copies) + scalarized
+    Möller–Trumbore and normal computation — this is the hot epilogue of
+    every intersector.  ``prim`` may be -1 for known misses.
+    """
+    n = tris.shape[0]
+    best = jnp.clip(prim, 0, n - 1)
+    tri9 = tris.reshape(n, 9)[best]                   # [R,9]
+    ax, ay, az = tri9[:, 0], tri9[:, 1], tri9[:, 2]
+    e1x, e1y, e1z = tri9[:, 3] - ax, tri9[:, 4] - ay, tri9[:, 5] - az
+    e2x, e2y, e2z = tri9[:, 6] - ax, tri9[:, 7] - ay, tri9[:, 8] - az
+    dx, dy, dz = ray_d[:, 0], ray_d[:, 1], ray_d[:, 2]
+    ox, oy, oz = ray_o[:, 0], ray_o[:, 1], ray_o[:, 2]
+
+    hx = dy * e2z - dz * e2y
+    hy = dz * e2x - dx * e2z
+    hz = dx * e2y - dy * e2x
+    a = e1x * hx + e1y * hy + e1z * hz
+    parallel = jnp.abs(a) < EPS
+    f = 1.0 / jnp.where(parallel, 1.0, a)
+    sx, sy, sz = ox - ax, oy - ay, oz - az
+    u = f * (sx * hx + sy * hy + sz * hz)
+    qx = sy * e1z - sz * e1y
+    qy = sz * e1x - sx * e1z
+    qz = sx * e1y - sy * e1x
+    v = f * (dx * qx + dy * qy + dz * qz)
+    t = f * (e2x * qx + e2y * qy + e2z * qz)
+    valid = (
+        (~parallel)
+        & (u >= 0.0)
+        & (u <= 1.0)
+        & (v >= 0.0)
+        & (u + v <= 1.0)
+        & (t > EPS)
+        & (prim >= 0)
+    )
+    best_t = jnp.where(valid, t, BIG_T)
     # miss lanes keep point = origin: o + d*BIG_T overflows float32 to inf,
     # and inf/NaN in masked lanes poisons gradients (0 * NaN = NaN in VJPs)
-    point = ray_o + ray_d * jnp.where(hit, best_t, 0.0)[:, None]
-    e1 = tri[:, 1, :] - tri[:, 0, :]
-    e2 = tri[:, 2, :] - tri[:, 0, :]
-    normal = normalize(cross(e1, e2))
+    point = ray_o + ray_d * jnp.where(valid, best_t, 0.0)[:, None]
+
+    nx = e1y * e2z - e1z * e2y
+    ny = e1z * e2x - e1x * e2z
+    nz = e1x * e2y - e1y * e2x
+    inv_len = 1.0 / safe_sqrt(nx * nx + ny * ny + nz * nz)
+    normal = jnp.stack([nx * inv_len, ny * inv_len, nz * inv_len], axis=-1)
     return Hit(
         t=best_t,
         point=point,
         normal=normal,
         uv=jnp.stack([u, v], axis=-1),
         prim=best.astype(jnp.int32),
-        hit=hit,
+        hit=valid,
     )
+
+
+def _finalize_tri_hit(ray_o, ray_d, tris, best, best_t):
+    """Back-compat shim: hit record for the argmin winner (``best_t`` only
+    gates the miss mask; the record itself is recomputed in finalize_hit)."""
+    prim = jnp.where(best_t < BIG_T, best, -1)
+    return finalize_hit(ray_o, ray_d, tris, prim)
 
 
 def any_hit_triangles(ray_o, ray_d, tris, t_lim):
