@@ -118,7 +118,7 @@ def intersect_triangles(ray_o, ray_d, tris):
     """
     t = _mt_dense_scalar(ray_o, ray_d, tris)
     best = jnp.argmin(t, axis=1)                      # [R]
-    best_t = jnp.take_along_axis(t, best[:, None], axis=1)[:, 0]
+    best_t = jnp.min(t, axis=1)                       # reduction, no gather
     return _finalize_tri_hit(ray_o, ray_d, tris, best, best_t)
 
 
@@ -213,7 +213,7 @@ def intersect_spheres(ray_o, ray_d, centers, radii, prim_index):
     t = jnp.where(valid, t, BIG_T)                    # [R,S]
 
     best = jnp.argmin(t, axis=1)
-    best_t = jnp.take_along_axis(t, best[:, None], axis=1)[:, 0]
+    best_t = jnp.min(t, axis=1)                       # reduction, no gather
     hit = best_t < BIG_T
     point = ray_o + ray_d * jnp.where(hit, best_t, 0.0)[:, None]
     normal = normalize(point - centers[best])
