@@ -23,13 +23,16 @@ from sycl_ray_tracing_tpu.utils.png import write_png
 def main():
     size = 64 if small() else 512
     spp = 4 if small() else 64
+    tile = 4096 if small() else 32768
     cfg = RenderConfig(width=size, height=size, samples=spp, bounces=4,
-                       tile_rays=None)
-    scene = load_scene("/root/reference/data/OBJs/cornell_pbr.obj")
-    # the scene is low-poly; use the cluster accelerator anyway to exercise
-    # the accelerated path end-to-end (BASELINE asks for BVH-accelerated)
-    scene = scene.build_acceleration(num_rays_hint=size * size)
-    cam = cornell_box_camera()
+                       tile_rays=tile)
+    # MIS.obj: the reference's low-poly multi-light test scene (3860 tris)
+    from sycl_ray_tracing_tpu.models.camera import mis_camera
+
+    scene = load_scene("/root/reference/data/OBJs/MIS.obj")
+    # NOTE the pair-budget hint must match the RAY TILE size, not the image
+    scene = scene.build_acceleration(num_rays_hint=tile)
+    cam = mis_camera()
     f = jax.jit(lambda s, c, k: pathtracer.render(s, c, cfg, k))
     img, dt = timed_render(f, scene, cam, jax.random.PRNGKey(0))
     assert np.isfinite(img).all() and img.mean() > 0.05

@@ -111,8 +111,12 @@ class Scene:
         return dataclasses.replace(self, clusters=clusters)
 
     def build_acceleration(self, num_rays_hint: int = 32768) -> "Scene":
-        """Build the default acceleration structure (wavefront clusters,
-        SAH-ordered when the native builder is available)."""
+        """Build the default acceleration structure (wavefront clusters).
+
+        ``num_rays_hint`` sizes the static pair budgets and MUST match the
+        wavefront TILE size (RenderConfig.tile_rays), NOT the image size —
+        the phase-3 gather allocates budget*cluster_row bytes (a 512x512
+        hint with 200k triangles would ask for >20 GB)."""
         import numpy as np
 
         from sycl_ray_tracing_tpu.ops.cluster import (
