@@ -65,16 +65,46 @@ def main(argv=None) -> int:
         t0 = time.time()
         scene = scene.with_bvh(build_bvh(np.asarray(scene.triangles)))
         print(f"BVH build: {(time.time() - t0) * 1000:.0f}ms")
+    if config.intersect == "cluster":
+        t0 = time.time()
+        hint = config.tile_rays or config.width * config.height
+        scene = scene.build_acceleration(num_rays_hint=hint)
+        print(f"cluster build: {(time.time() - t0) * 1000:.0f}ms")
 
     camera = PRESETS[config.camera]()
     print(f"[{config.width}x{config.height}]: {config.samples} samples\n")
 
     key = jax.random.PRNGKey(0)
-    render = jax.jit(lambda s, c, k: pathtracer.render(s, c, config, k))
+    render = jax.jit(
+        lambda s, c, k: pathtracer.render(s, c, config, k, with_aux=True)
+    )
     t0 = time.time()
-    hdr = render(scene, camera, key)
+    hdr, aux = render(scene, camera, key)
     hdr.block_until_ready()
     print(f"{(time.time() - t0) * 1000:.0f}ms")
+
+    # Cluster pair-budget overflow means hits MAY have been silently
+    # dropped.  Auto-grow the budgets and re-render rather than writing a
+    # corrupt image (the flag comes out of every traversal — see
+    # ops/cluster.py closest_hit/any_hit).
+    for attempt in range(2):
+        if scene.clusters is None or not bool(aux["overflow"]):
+            break
+        cl = scene.clusters
+        print(
+            f"WARNING: cluster pair budget overflow "
+            f"(p1={cl.p1_budget}, p2={cl.p2_budget}); doubling and "
+            f"re-rendering"
+        )
+        scene = scene.with_clusters(
+            cl.with_budgets(cl.p1_budget * 2, cl.p2_budget * 2)
+        )
+        hdr, aux = render(scene, camera, key)
+        hdr.block_until_ready()
+    else:
+        if scene.clusters is not None and bool(aux["overflow"]):
+            print("ERROR: cluster budgets still overflowing after growth; "
+                  "image may be missing hits")
 
     hdr_np = np.asarray(hdr)
     ldr = np.asarray(tonemap(hdr))

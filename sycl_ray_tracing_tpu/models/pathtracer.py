@@ -64,11 +64,16 @@ def _uniforms(key, bounce, tag, shape):
     return jax.random.uniform(k, shape, jnp.float32)
 
 
-def intersect_scene(scene: Scene, ray_o, ray_d, backend: str = "auto") -> Hit:
+def intersect_scene(scene: Scene, ray_o, ray_d, backend: str = "auto",
+                    of: list | None = None) -> Hit:
     """Closest-hit dispatch (reference INTERSECT_SCENE,
     render_kernel.cpp:504-511): wavefront clusters (the TPU-native
     structure), lockstep BVH, or brute-force triangles, plus brute-force
-    spheres (:485-502).  Sphere hits get primitive index N + sphere_id."""
+    spheres (:485-502).  Sphere hits get primitive index N + sphere_id.
+
+    ``of``: optional overflow collector — cluster-backend pair-budget
+    overflow flags are appended so the render API can report them instead
+    of silently dropping hits."""
     if backend == "auto":
         if scene.clusters is not None:
             backend = "cluster"
@@ -79,7 +84,9 @@ def intersect_scene(scene: Scene, ray_o, ray_d, backend: str = "auto") -> Hit:
     if backend == "cluster":
         from sycl_ray_tracing_tpu.ops.cluster import intersect_clusters
 
-        hit = intersect_clusters(scene.clusters, scene.triangles, ray_o, ray_d)
+        hit = intersect_clusters(
+            scene.clusters, scene.triangles, ray_o, ray_d, of
+        )
     elif backend == "bvh":
         from sycl_ray_tracing_tpu.ops.bvh import intersect_bvh
 
@@ -96,7 +103,8 @@ def intersect_scene(scene: Scene, ray_o, ray_d, backend: str = "auto") -> Hit:
     return hit
 
 
-def occluded(scene: Scene, ray_o, ray_d, t_max=None, backend: str = "auto"):
+def occluded(scene: Scene, ray_o, ray_d, t_max=None, backend: str = "auto",
+             of: list | None = None):
     """Shadow-ray test with the reference's t_max - 1e-4 slack
     (evaluate_shadow_ray, render_kernel.cpp:744-759).  ``t_max=None`` means
     "blocked at any distance" (env-map MIS rays).  Uses the cheap any-hit
@@ -115,12 +123,14 @@ def occluded(scene: Scene, ray_o, ray_d, t_max=None, backend: str = "auto"):
     if backend == "cluster":
         from sycl_ray_tracing_tpu.ops.cluster import any_hit as cluster_any
 
-        blocked = cluster_any(
+        blocked, overflow = cluster_any(
             scene.clusters,
             jax.lax.stop_gradient(ray_o),
             jax.lax.stop_gradient(ray_d),
             jax.lax.stop_gradient(t_max),
         )
+        if of is not None:
+            of.append(overflow)
         if scene.num_spheres > 0:
             n = scene.num_triangles
             sphere_prim = n + jnp.arange(scene.num_spheres, dtype=jnp.int32)
@@ -175,7 +185,8 @@ def _material_of_prim(scene: Scene, prim):
     return tri_mat
 
 
-def _sample_lights_nee(scene, backend, hit, view, diffuse, metal, rough, key, bounce):
+def _sample_lights_nee(scene, backend, hit, view, diffuse, metal, rough, key, bounce,
+                       of=None):
     """Direct lighting from emissive triangles, both MIS terms
     (reference sample_light_sources, render_kernel.cpp:633-713)."""
     B = hit.t.shape[0]
@@ -202,7 +213,7 @@ def _sample_lights_nee(scene, backend, hit, view, diffuse, metal, rough, key, bo
 
     cos_light = jnp.maximum(0.0, dot(ln, -wi))
     front = cos_light > 0.0
-    shadowed = occluded(scene, origin, wi, dist, backend)
+    shadowed = occluded(scene, origin, wi, dist, backend, of)
 
     # sanitize masked lanes BEFORE arithmetic: a cos_light ~ 0 lane makes
     # light_pdf explode; even though the contribution is where-masked out,
@@ -230,7 +241,7 @@ def _sample_lights_nee(scene, backend, hit, view, diffuse, metal, rough, key, bo
         diffuse, metal, rough, view, hit.normal, ub[:, 0], ub[:, 1]
     )
     origin_s = hit.point + hit.normal * 1e-5  # reference uses 1e-5 here (:684)
-    h2 = intersect_scene(scene, origin_s, wi_s, backend)
+    h2 = intersect_scene(scene, origin_s, wi_s, backend, of)
     n_tris = scene.num_triangles
     cos_at_light = jnp.maximum(0.0, dot(h2.normal, -wi_s))
     hit_mat = _material_of_prim(scene, h2.prim)
@@ -265,7 +276,8 @@ def _sample_lights_nee(scene, backend, hit, view, diffuse, metal, rough, key, bo
     return radiance + jnp.where(ok2[..., None], contrib2, 0.0)
 
 
-def _sample_env_nee(scene, backend, hit, view, diffuse, metal, rough, key, bounce):
+def _sample_env_nee(scene, backend, hit, view, diffuse, metal, rough, key, bounce,
+                    of=None):
     """Direct lighting from the environment map, both MIS terms
     (reference sample_environment_map, render_kernel.cpp:569-631)."""
     B = hit.t.shape[0]
@@ -279,7 +291,7 @@ def _sample_env_nee(scene, backend, hit, view, diffuse, metal, rough, key, bounc
     wi, env_rad, env_pdf, _ = env_ops.sample(sampler, u[:, 0], u[:, 1])
     cos_term = dot(hit.normal, wi)
     origin = hit.point + hit.normal * RAY_OFFSET
-    blocked = occluded(scene, origin, wi, None, backend)
+    blocked = occluded(scene, origin, wi, None, backend, of)
     brdf = cook_torrance_eval(diffuse, metal, rough, wi, view, hit.normal)
     brdf_pdf = cook_torrance_pdf(rough, view, wi, hit.normal)
     mis_w = power_heuristic(env_pdf, brdf_pdf)
@@ -296,7 +308,7 @@ def _sample_env_nee(scene, backend, hit, view, diffuse, metal, rough, key, bounc
     )
     cos_s = jnp.maximum(0.0, dot(hit.normal, wi_s))
     origin_s = hit.point + hit.normal * 1e-5  # reference offset (:615)
-    blocked_s = occluded(scene, origin_s, wi_s, None, backend)
+    blocked_s = occluded(scene, origin_s, wi_s, None, backend, of)
     env_rad_s = env_ops.eval_direction(sampler.image, wi_s)
     env_pdf_s = env_ops.pdf_of_direction(sampler, wi_s)
     mis_w_s = power_heuristic(pdf_s, env_pdf_s)
@@ -308,7 +320,7 @@ def _sample_env_nee(scene, backend, hit, view, diffuse, metal, rough, key, bounc
 
 
 def trace(scene: Scene, ray_o, ray_d, key, bounces: int,
-          backend: str = "auto", nee: bool = True):
+          backend: str = "auto", nee: bool = True, with_aux: bool = False):
     """Trace one path per ray; returns radiance [B,3].
 
     Vectorized equivalent of the reference bounce loop
@@ -322,9 +334,10 @@ def trace(scene: Scene, ray_o, ray_d, key, bounces: int,
     B = ray_o.shape[0]
 
     def bounce_body(carry, bounce):
-        ray_o, ray_d, throughput, radiance, alive = carry
+        ray_o, ray_d, throughput, radiance, alive, overflow = carry
+        of = []
 
-        hit = intersect_scene(scene, ray_o, ray_d, backend)
+        hit = intersect_scene(scene, ray_o, ray_d, backend, of)
         live_hit = alive & hit.hit
 
         mat_idx = _material_of_prim(scene, hit.prim)
@@ -339,9 +352,11 @@ def trace(scene: Scene, ray_o, ray_d, key, bounces: int,
 
             # direct lighting (NEE + MIS), masked to live hits
             direct = _sample_lights_nee(
-                scene, backend, hit, view, diffuse, metal, rough, key, bounce
+                scene, backend, hit, view, diffuse, metal, rough, key,
+                bounce, of
             ) + _sample_env_nee(
-                scene, backend, hit, view, diffuse, metal, rough, key, bounce
+                scene, backend, hit, view, diffuse, metal, rough, key,
+                bounce, of
             )
             radiance = radiance + jnp.where(
                 live_hit[..., None], direct * throughput, 0.0
@@ -404,7 +419,9 @@ def trace(scene: Scene, ray_o, ray_d, key, bounces: int,
         ray_d = jnp.where(ok_c[..., None], wi_c, ray_d)
         alive = ok_c
 
-        return (ray_o, ray_d, throughput, radiance, alive), None
+        for f in of:
+            overflow = overflow | f
+        return (ray_o, ray_d, throughput, radiance, alive, overflow), None
 
     init = (
         ray_o,
@@ -412,15 +429,18 @@ def trace(scene: Scene, ray_o, ray_d, key, bounces: int,
         jnp.ones((B, 3), jnp.float32),
         jnp.zeros((B, 3), jnp.float32),
         jnp.ones((B,), bool),
+        jnp.zeros((), bool),
     )
-    (ray_o, ray_d, throughput, radiance, alive), _ = jax.lax.scan(
+    (ray_o, ray_d, throughput, radiance, alive, overflow), _ = jax.lax.scan(
         bounce_body, init, jnp.arange(bounces), length=bounces
     )
+    if with_aux:
+        return radiance, {"overflow": overflow}
     return radiance
 
 
 def trace_shared(scene: Scene, ray_o, ray_d, key, bounces: int,
-                 backend: str = "auto"):
+                 backend: str = "auto", with_aux: bool = False):
     """Shared-sample wavefront integrator: the TPU-fast estimator.
 
     Per bounce: ONE GGX importance sample serves the light-MIS brdf term,
@@ -479,10 +499,12 @@ def trace_shared(scene: Scene, ray_o, ray_d, key, bounces: int,
             [mats.emission[scene.material_indices], areas[:, None]], axis=1
         )                                                # [N,4]
 
-    hit0 = intersect_scene(scene, ray_o, ray_d, backend)
+    of0 = []
+    hit0 = intersect_scene(scene, ray_o, ray_d, backend, of0)
 
     def bounce_body(carry, bounce):
-        ray_o, ray_d, hit, throughput, radiance, alive = carry
+        ray_o, ray_d, hit, throughput, radiance, alive, overflow = carry
+        of = []
         live_hit = alive & hit.hit
 
         emission, diffuse, metal, rough = lookup_prim(hit.prim)
@@ -508,7 +530,7 @@ def trace_shared(scene: Scene, ray_o, ray_d, key, bounces: int,
             diffuse, metal, rough, view, hit.normal, uc[:, 0], uc[:, 1]
         )
         cos_s = jnp.maximum(0.0, dot(hit.normal, wi_s))
-        h2 = intersect_scene(scene, origin, wi_s, backend)   # closest-hit #1
+        h2 = intersect_scene(scene, origin, wi_s, backend, of)  # closest-hit #1
 
         direct = jnp.zeros((B, 3), jnp.float32)
 
@@ -529,7 +551,7 @@ def trace_shared(scene: Scene, ray_o, ray_d, key, bounces: int,
             wi_l = to_light / jnp.maximum(dist, 1e-12)[..., None]
             cos_light = jnp.maximum(0.0, dot(ln, -wi_l))
             front = cos_light > 0.0
-            shadowed = occluded(scene, origin, wi_l, dist, backend)
+            shadowed = occluded(scene, origin, wi_l, dist, backend, of)
             light_pdf = pdf_area * dist * dist / jnp.maximum(cos_light, 1e-6)
             light_pdf = jnp.where(front, light_pdf, 1.0)
             brdf_l = cook_torrance_eval(
@@ -586,7 +608,7 @@ def trace_shared(scene: Scene, ray_o, ray_d, key, bounces: int,
                 sampler, u[:, 0], u[:, 1]
             )
             cos_e = dot(hit.normal, wi_e)
-            blocked = occluded(scene, origin, wi_e, None, backend)
+            blocked = occluded(scene, origin, wi_e, None, backend, of)
             brdf_e = cook_torrance_eval(
                 diffuse, metal, rough, wi_e, view, hit.normal
             )
@@ -632,8 +654,13 @@ def trace_shared(scene: Scene, ray_o, ray_d, key, bounces: int,
         ray_o = jnp.where(ok_c[..., None], origin, ray_o)
         ray_d = jnp.where(ok_c[..., None], wi_s, ray_d)
         alive = ok_c
-        return (ray_o, ray_d, h2, throughput, radiance, alive), None
+        for f in of:
+            overflow = overflow | f
+        return (ray_o, ray_d, h2, throughput, radiance, alive, overflow), None
 
+    of_init = jnp.zeros((), bool)
+    for f in of0:
+        of_init = of_init | f
     init = (
         ray_o,
         ray_d,
@@ -641,9 +668,12 @@ def trace_shared(scene: Scene, ray_o, ray_d, key, bounces: int,
         jnp.ones((B, 3), jnp.float32),
         jnp.zeros((B, 3), jnp.float32),
         jnp.ones((B,), bool),
+        of_init,
     )
     carry, _ = jax.lax.scan(bounce_body, init, jnp.arange(bounces),
                             length=bounces)
+    if with_aux:
+        return carry[4], {"overflow": carry[6]}
     return carry[4]
 
 
@@ -651,7 +681,7 @@ def render_rays(scene: Scene, camera: Camera, px, py,
                 width: int, height: int, key, samples: int, bounces: int,
                 backend: str = "auto", nee: bool = True,
                 estimator: str = "parity", samples_per_pass: int = 1,
-                max_radiance=None):
+                max_radiance=None, with_aux: bool = False):
     """Average ``samples`` jittered paths per pixel; returns HDR [B,3].
 
     Jitter matches the reference: uniform in [c-0.5, c+0.5) around pixel
@@ -671,45 +701,59 @@ def render_rays(scene: Scene, camera: Camera, px, py,
         px_rep = jnp.tile(px, P)
         py_rep = jnp.tile(py, P)
 
-    def sample_body(accum, s):
+    def sample_body(carry, s):
+        accum, overflow = carry
         ks = jax.random.fold_in(key, s)
         uj = _uniforms(ks, 0, _JITTER, (B * P, 2))
         jx = px_rep + 0.5 + uj[:, 0] - 1.0
         jy = py_rep + 0.5 + uj[:, 1] - 1.0
         ro, rd = camera.generate_rays(jx, jy, width, height)
         if estimator == "shared" and nee:
-            rad = trace_shared(scene, ro, rd, ks, bounces, backend)
+            rad, aux = trace_shared(scene, ro, rd, ks, bounces, backend,
+                                    with_aux=True)
         else:
-            rad = trace(scene, ro, rd, ks, bounces, backend, nee)
+            rad, aux = trace(scene, ro, rd, ks, bounces, backend, nee,
+                             with_aux=True)
         if max_radiance is not None:
             # per-sample firefly clamp (biased, like all production clamps)
             rad = jnp.minimum(rad, max_radiance)
         if P > 1:
             rad = rad.reshape(P, B, 3).sum(axis=0)
-        return accum + rad, None
+        return (accum + rad, overflow | aux["overflow"]), None
 
-    accum, _ = jax.lax.scan(
-        sample_body, jnp.zeros((B, 3), jnp.float32), jnp.arange(samples // P)
+    (accum, overflow), _ = jax.lax.scan(
+        sample_body,
+        (jnp.zeros((B, 3), jnp.float32), jnp.zeros((), bool)),
+        jnp.arange(samples // P),
     )
+    if with_aux:
+        return accum / samples, {"overflow": overflow}
     return accum / samples
 
 
-def render(scene: Scene, camera: Camera, config: RenderConfig, key):
+def render(scene: Scene, camera: Camera, config: RenderConfig, key,
+           with_aux: bool = False):
     """Full-frame render -> linear HDR image [H,W,3].
 
     Row 0 is the BOTTOM of the image (world +y up, reference NDC convention
     render_kernel.cpp:56-73); PNG export flips (utils/png.py).
+
+    ``with_aux=True`` additionally returns {"overflow": bool} — True when a
+    cluster-tracer pair budget overflowed anywhere in the frame (hits may
+    have been dropped; re-render with bigger budgets, see main.py).
     """
     W, H = config.width, config.height
     if config.debug_pixel is not None:
         x0, y0 = config.debug_pixel
         px = jnp.array([float(x0)], jnp.float32)
         py = jnp.array([float(y0)], jnp.float32)
-        hdr = render_rays(
+        hdr, aux = render_rays(
             scene, camera, px, py, W, H, key, config.samples, config.bounces,
             config.intersect, True, config.estimator, config.samples_per_pass,
-            config.max_radiance,
+            config.max_radiance, with_aux=True,
         )
+        if with_aux:
+            return hdr.reshape(1, 1, 3), aux
         return hdr.reshape(1, 1, 3)
     ys, xs = jnp.meshgrid(
         jnp.arange(H, dtype=jnp.float32),
@@ -722,11 +766,13 @@ def render(scene: Scene, camera: Camera, config: RenderConfig, key):
 
     tile = config.tile_rays
     if tile is None or tile >= B:
-        hdr = render_rays(
+        hdr, aux = render_rays(
             scene, camera, px, py, W, H, key, config.samples, config.bounces,
             config.intersect, True, config.estimator, config.samples_per_pass,
-            config.max_radiance,
+            config.max_radiance, with_aux=True,
         )
+        if with_aux:
+            return hdr.reshape(H, W, 3), aux
         return hdr.reshape(H, W, 3)
 
     # wavefront tiling: bound the cluster tracer's pair-expansion transients
@@ -742,10 +788,12 @@ def render(scene: Scene, camera: Camera, config: RenderConfig, key):
         return render_rays(
             scene, camera, tpx, tpy, W, H, k, config.samples, config.bounces,
             config.intersect, True, config.estimator, config.samples_per_pass,
-            config.max_radiance,
+            config.max_radiance, with_aux=True,
         )
 
-    hdr = jax.lax.map(
-        do_tile, (px, py, jnp.arange(n_tiles))
-    ).reshape(n_tiles * tile, 3)
+    hdr, aux = jax.lax.map(do_tile, (px, py, jnp.arange(n_tiles)))
+    hdr = hdr.reshape(n_tiles * tile, 3)
+    aux = {"overflow": jnp.any(aux["overflow"])}
+    if with_aux:
+        return hdr[:B].reshape(H, W, 3), aux
     return hdr[:B].reshape(H, W, 3)

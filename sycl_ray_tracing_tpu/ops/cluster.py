@@ -60,8 +60,6 @@ class ClusterScene:
     cl_tri_idx: jnp.ndarray   # [K2, T] i32 original tri index (-1 pad)
     p1_budget: int = dataclasses.field(default=0, metadata=dict(static=True))
     p2_budget: int = dataclasses.field(default=0, metadata=dict(static=True))
-    # per-ray cluster budget for the top-k tracer (0 = use the pair tracer)
-    k_clusters: int = dataclasses.field(default=32, metadata=dict(static=True))
     # max hit child-clusters per (ray, supercluster) pair; 0 = exact path
     fanout: int = dataclasses.field(default=0, metadata=dict(static=True))
 
@@ -75,9 +73,6 @@ class ClusterScene:
 
     def with_budgets(self, p1: int, p2: int) -> "ClusterScene":
         return dataclasses.replace(self, p1_budget=p1, p2_budget=p2)
-
-    def with_k_clusters(self, k: int) -> "ClusterScene":
-        return dataclasses.replace(self, k_clusters=k)
 
     def with_fanout(self, f: int) -> "ClusterScene":
         return dataclasses.replace(self, fanout=f)
@@ -445,34 +440,6 @@ def _dense_cluster_mask(scene: ClusterScene, ray_o, inv_d, t_lim):
     return hit, tnear
 
 
-def closest_hit_topk(scene: ClusterScene, ray_o, ray_d, k_clusters: int = 32):
-    """Closest-hit with per-call budgets derived from ``k_clusters``
-    (the AVERAGE (ray,cluster) pair budget per ray — measured densities are
-    ~2/ray for camera rays, ~18/ray for surface-origin rays).
-
-    Thin wrapper over the hierarchical pair tracer: the one-level dense
-    variants were abandoned — every global selection primitive at
-    [B,K2]-dense scale is pathological on TPU (top_k => ~100ms full f32
-    sort; jnp.nonzero => same sort + overhead; scatter => SERIAL loop).
-    The hierarchy keeps every compaction's key-sort small.
-    """
-    B = ray_o.shape[0]
-    s = scene.with_budgets(
-        max(64, B * max(2, k_clusters // 2)), max(64, B * k_clusters)
-    )
-    return closest_hit(s, ray_o, ray_d)
-
-
-def any_hit_topk(scene: ClusterScene, ray_o, ray_d, t_max,
-                 k_clusters: int = 32):
-    """Occlusion wrapper with per-call budgets (see closest_hit_topk)."""
-    B = ray_o.shape[0]
-    s = scene.with_budgets(
-        max(64, B * max(2, k_clusters // 2)), max(64, B * k_clusters)
-    )
-    return any_hit(s, ray_o, ray_d, t_max)
-
-
 def closest_hit(scene: ClusterScene, ray_o, ray_d):
     """Closest-hit for rays [B,3] -> (t [B], prim [B] (-1 miss), overflow).
 
@@ -508,24 +475,35 @@ def closest_hit(scene: ClusterScene, ray_o, ray_d):
 
 
 def any_hit(scene: ClusterScene, ray_o, ray_d, t_max):
-    """Occlusion: True where any triangle lies at t < t_max - SHADOW_EPS."""
+    """Occlusion: True where any triangle lies at t < t_max - SHADOW_EPS.
+
+    Returns (blocked [B] bool, overflow scalar bool) — overflow means a pair
+    budget was exceeded and hits MAY have been dropped (never silently:
+    callers thread it to the render API, models/pathtracer.py)."""
     B = ray_o.shape[0]
     t_lim = t_max - SHADOW_EPS
-    r2, _, t, valid2, tl2, _ = _trace_pairs(scene, ray_o, ray_d, t_lim)
+    r2, _, t, valid2, tl2, overflow = _trace_pairs(scene, ray_o, ray_d, t_lim)
     pair_hit = jnp.any(t < tl2[:, None], axis=1) & valid2
     hits = jax.ops.segment_max(
         pair_hit.astype(jnp.int32), r2, num_segments=B + 1,
         indices_are_sorted=True,
     )[:B]
-    return hits > 0
+    return hits > 0, overflow
 
 
-def intersect_clusters(scene: ClusterScene, tris, ray_o, ray_d) -> Hit:
+def intersect_clusters(scene: ClusterScene, tris, ray_o, ray_d,
+                       of: list | None = None) -> Hit:
     """Closest-hit with a differentiable hit record (same stop-gradient +
-    recompute recipe as ops.bvh.intersect_bvh)."""
+    recompute recipe as ops.bvh.intersect_bvh).
+
+    ``of``: optional collector list — the traversal's budget-overflow flag
+    (a traced scalar bool) is appended so integrators can reduce it into
+    their carries instead of dropping hits silently."""
     o_ng = jax.lax.stop_gradient(ray_o)
     d_ng = jax.lax.stop_gradient(ray_d)
-    _, prim, _ = closest_hit(scene, o_ng, d_ng)
+    _, prim, overflow = closest_hit(scene, o_ng, d_ng)
+    if of is not None:
+        of.append(overflow)
     from sycl_ray_tracing_tpu.ops.intersect import finalize_hit
 
     return finalize_hit(ray_o, ray_d, tris, prim)

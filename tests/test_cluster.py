@@ -90,7 +90,9 @@ def test_any_hit_matches_oracle():
     oracle = intersect_triangles(o, d, tris)
     for tmax_val in (0.5, 2.0, 1e30):
         t_max = jnp.full((256,), tmax_val, jnp.float32)
-        got = np.asarray(any_hit(cs, o, d, t_max))
+        blocked, of = any_hit(cs, o, d, t_max)
+        assert not bool(of)
+        got = np.asarray(blocked)
         want = np.asarray(oracle.hit & (oracle.t + 1e-4 < t_max))
         np.testing.assert_array_equal(got, want)
 
@@ -162,18 +164,16 @@ def test_sah_order_build():
     )
 
 
-def test_topk_tracer_matches_oracle():
-    from sycl_ray_tracing_tpu.ops.cluster import any_hit_topk, closest_hit_topk
-
+def test_per_call_budgets_match_oracle():
     rng = np.random.default_rng(44)
     centers = rng.uniform(-8, 8, (5000, 1, 3)).astype(np.float32)
     tris = jnp.asarray(
         centers + rng.uniform(-0.08, 0.08, (5000, 3, 3)).astype(np.float32)
     )
     o, d = _random_rays(512, rng, -9, 9)
-    cs = build_clusters(np.asarray(tris))
+    cs = build_clusters(np.asarray(tris)).with_budgets(512 * 16, 512 * 32)
     oracle = intersect_triangles(o, d, tris)
-    t, prim, overflow = closest_hit_topk(cs, o, d, 32)
+    t, prim, overflow = closest_hit(cs, o, d)
     assert not bool(overflow)
     np.testing.assert_array_equal(np.asarray(prim >= 0), np.asarray(oracle.hit))
     m = np.asarray(oracle.hit)
@@ -182,16 +182,16 @@ def test_topk_tracer_matches_oracle():
     )
     for tmax_val in (1.0, 5.0, 1e30):
         t_max = jnp.full((512,), tmax_val, jnp.float32)
-        got = np.asarray(any_hit_topk(cs, o, d, t_max, 32))
+        blocked, of = any_hit(cs, o, d, t_max)
+        assert not bool(of)
+        got = np.asarray(blocked)
         want = np.asarray(oracle.hit & (oracle.t + 1e-4 < t_max))
         np.testing.assert_array_equal(got, want)
 
 
-def test_topk_nearest_first_pruning_correct():
-    """Phase-B pruning by phase-A's best t must never drop the true
-    closest hit (tnear ordering guarantees it)."""
-    from sycl_ray_tracing_tpu.ops.cluster import closest_hit_topk
-
+def test_deep_corridor_correct():
+    """Rays crossing many clusters in depth must still find the true
+    closest hit within the configured budgets."""
     rng = np.random.default_rng(45)
     # long thin corridor of clusters so rays cross many clusters in depth
     tris = []
@@ -207,9 +207,9 @@ def test_topk_nearest_first_pruning_correct():
         ).astype(np.float32)
     )
     d = jnp.tile(jnp.array([[0.0, 0.0, -1.0]], jnp.float32), (128, 1))
-    cs = build_clusters(np.asarray(tris))
+    cs = build_clusters(np.asarray(tris)).with_budgets(128 * 64, 128 * 128)
     oracle = intersect_triangles(o, d, tris)
-    t, prim, overflow = closest_hit_topk(cs, o, d, 128)
+    t, prim, overflow = closest_hit(cs, o, d)
     assert not bool(overflow)
     m = np.asarray(oracle.hit)
     np.testing.assert_array_equal(np.asarray(prim >= 0), m)

@@ -132,6 +132,85 @@ def test_grad_camera_pose(cornell_scene, key):
     _fd_vs_ad(f, jnp.float32(0.0), 1e-3, rtol=0.1, atol=2e-3)
 
 
+@pytest.mark.parametrize("backend", ["brute", "bvh", "cluster"])
+def test_grad_through_accel_backends(cornell_scene, key, backend):
+    """FD-vs-AD through EVERY intersector — the accelerated backends use the
+    stop_gradient + finalize_hit recompute recipe (ops/bvh.py intersect_bvh,
+    ops/cluster.py intersect_clusters), which is the path every big-scene
+    gradient takes and needs its own FD pin."""
+    import numpy as np_
+
+    from sycl_ray_tracing_tpu.ops.bvh import build_bvh
+    from sycl_ray_tracing_tpu.ops.cluster import build_clusters
+
+    tris = np_.asarray(cornell_scene.triangles)
+    scene = cornell_scene
+    if backend == "bvh":
+        scene = scene.with_bvh(build_bvh(tris))
+    elif backend == "cluster":
+        nrays = CFG.width * CFG.height
+        scene = scene.with_clusters(
+            build_clusters(tris).with_budgets(nrays * 2, nrays * 2)
+        )
+    cam = cornell_box_camera()
+    mats = scene.materials
+
+    def f(shift):
+        new = dataclasses.replace(mats, diffuse=mats.diffuse * (1.0 + shift))
+        s = scene.with_materials(new)
+        W, H = CFG.width, CFG.height
+        ys, xs = jnp.meshgrid(
+            jnp.arange(H, dtype=jnp.float32),
+            jnp.arange(W, dtype=jnp.float32),
+            indexing="ij",
+        )
+        hdr = pathtracer.render_rays(
+            s, cam, xs.reshape(-1), ys.reshape(-1), W, H, key,
+            CFG.samples, CFG.bounces, backend=backend,
+        )
+        return jnp.mean(hdr)
+
+    g = _fd_vs_ad(f, jnp.float32(0.0), 1e-3, rtol=1e-2)
+    assert g > 0.0
+
+
+def test_backends_agree_forward(cornell_scene, key):
+    """The three backends produce the SAME image bit-for-bit-close at equal
+    seeds (they differ only in how the closest hit is found)."""
+    import numpy as np_
+
+    from sycl_ray_tracing_tpu.ops.bvh import build_bvh
+    from sycl_ray_tracing_tpu.ops.cluster import build_clusters
+
+    tris = np_.asarray(cornell_scene.triangles)
+    nrays = CFG.width * CFG.height
+    scene = cornell_scene.with_bvh(build_bvh(tris)).with_clusters(
+        build_clusters(tris).with_budgets(nrays * 2, nrays * 2)
+    )
+    cam = cornell_box_camera()
+    imgs = {
+        b: np_.asarray(_render_mean_backend(scene, cam, key, b))
+        for b in ("brute", "bvh", "cluster")
+    }
+    np_.testing.assert_allclose(imgs["bvh"], imgs["brute"], rtol=1e-4,
+                                atol=1e-5)
+    np_.testing.assert_allclose(imgs["cluster"], imgs["brute"], rtol=1e-4,
+                                atol=1e-5)
+
+
+def _render_mean_backend(scene, cam, key, backend):
+    W, H = CFG.width, CFG.height
+    ys, xs = jnp.meshgrid(
+        jnp.arange(H, dtype=jnp.float32),
+        jnp.arange(W, dtype=jnp.float32),
+        indexing="ij",
+    )
+    return pathtracer.render_rays(
+        scene, cam, xs.reshape(-1), ys.reshape(-1), W, H, key,
+        CFG.samples, CFG.bounces, backend=backend,
+    )
+
+
 def test_grad_is_nonzero_per_texel(cornell_scene, test_env_map, key):
     """Per-texel env gradients: scattered, finite, and non-negative for an
     L1 brightness probe."""

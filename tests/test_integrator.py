@@ -213,3 +213,28 @@ def test_firefly_clamp(cornell_scene, rng_key):
     img = np.asarray(pathtracer.render(cornell_scene, cam, cfg, rng_key))
     assert img.max() <= 2.0 + 1e-5
     assert img.mean() > 0.05
+
+
+def test_render_surfaces_cluster_overflow(cornell_scene, rng_key):
+    """A render whose cluster pair budgets overflow must REPORT it via the
+    aux output (never silently drop hits) — and generous budgets must not."""
+    import dataclasses as _dc
+
+    from sycl_ray_tracing_tpu.ops.cluster import build_clusters
+    from sycl_ray_tracing_tpu.utils.config import RenderConfig
+
+    tris = np.asarray(cornell_scene.triangles)
+    cfg = RenderConfig(width=8, height=8, samples=2, bounces=2,
+                       intersect="cluster")
+    cam = cornell_box_camera()
+
+    tiny = cornell_scene.with_clusters(build_clusters(tris).with_budgets(4, 4))
+    _, aux = pathtracer.render(tiny, cam, cfg, rng_key, with_aux=True)
+    assert bool(aux["overflow"])
+
+    roomy = cornell_scene.with_clusters(
+        build_clusters(tris).with_budgets(8 * 8 * 4, 8 * 8 * 4)
+    )
+    img, aux = pathtracer.render(roomy, cam, cfg, rng_key, with_aux=True)
+    assert not bool(aux["overflow"])
+    assert np.isfinite(np.asarray(img)).all()
