@@ -65,7 +65,7 @@ def main(argv=None) -> int:
         t0 = time.time()
         scene = scene.with_bvh(build_bvh(np.asarray(scene.triangles)))
         print(f"BVH build: {(time.time() - t0) * 1000:.0f}ms")
-    if config.intersect == "cluster":
+    if config.intersect in ("cluster", "pallas"):
         t0 = time.time()
         hint = config.tile_rays or config.width * config.height
         scene = scene.build_acceleration(num_rays_hint=hint)

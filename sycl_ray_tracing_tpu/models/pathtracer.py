@@ -81,7 +81,11 @@ def intersect_scene(scene: Scene, ray_o, ray_d, backend: str = "auto",
             backend = "bvh"
         else:
             backend = "brute"
-    if backend == "cluster":
+    if backend == "pallas":
+        from sycl_ray_tracing_tpu.ops.pallas.traverse import intersect_pallas
+
+        hit = intersect_pallas(scene.clusters, scene.triangles, ray_o, ray_d)
+    elif backend == "cluster":
         from sycl_ray_tracing_tpu.ops.cluster import intersect_clusters
 
         hit = intersect_clusters(
@@ -120,6 +124,24 @@ def occluded(scene: Scene, ray_o, ray_d, t_max=None, backend: str = "auto",
             backend = "bvh"
         else:
             backend = "brute"
+    if backend == "pallas":
+        from sycl_ray_tracing_tpu.ops.pallas.traverse import any_hit as pallas_any
+
+        blocked = pallas_any(
+            scene.clusters,
+            jax.lax.stop_gradient(ray_o),
+            jax.lax.stop_gradient(ray_d),
+            jax.lax.stop_gradient(t_max),
+        )
+        if scene.num_spheres > 0:
+            n = scene.num_triangles
+            sphere_prim = n + jnp.arange(scene.num_spheres, dtype=jnp.int32)
+            s_hit = intersect_spheres(
+                ray_o, ray_d, scene.sphere_centers, scene.sphere_radii,
+                sphere_prim,
+            )
+            blocked = blocked | (s_hit.hit & (s_hit.t + 1e-4 < t_max))
+        return blocked
     if backend == "cluster":
         from sycl_ray_tracing_tpu.ops.cluster import any_hit as cluster_any
 

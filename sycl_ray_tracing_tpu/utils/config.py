@@ -42,7 +42,8 @@ class RenderConfig:
     max_radiance: Optional[float] = None
 
     def __post_init__(self):
-        if self.intersect not in ("auto", "brute", "bvh", "cluster"):
+        if self.intersect not in ("auto", "brute", "bvh", "cluster",
+                                  "pallas"):
             raise ValueError(f"bad intersect mode {self.intersect!r}")
         if self.estimator not in ("shared", "parity"):
             raise ValueError(f"bad estimator {self.estimator!r}")
