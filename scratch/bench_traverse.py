@@ -10,6 +10,7 @@ import numpy as np, jax.numpy as jnp
 from sycl_ray_tracing_tpu.utils.procedural import dragon_standin
 from sycl_ray_tracing_tpu.ops.cluster import build_clusters, closest_hit as xla_closest
 from sycl_ray_tracing_tpu.ops.pallas import traverse
+from sycl_ray_tracing_tpu.ops.pallas import listtrace
 
 B = 32768
 tris_np = dragon_standin(200_000)
@@ -52,6 +53,8 @@ for label, o, d in (("coherent", o_cam, d_cam), ("surface", o_sur, d_sur)):
     o_j, d_j = jnp.asarray(o), jnp.asarray(d)
     if which in ("both", "pallas"):
         tp, pp = bench(f"pallas  {label}", lambda a, b: traverse.closest_hit(cs, a, b), o_j, d_j)
+    if which in ("both", "list"):
+        tl, pls, _of = bench(f"list    {label}", lambda a, b: listtrace.closest_hit(cs, a, b), o_j, d_j)
     if which in ("both", "xla"):
         tx, px_, ofx = bench(f"xla     {label}", lambda a, b: xla_closest(cs.with_budgets(B*8, B*20), a, b), o_j, d_j)
     if which == "both":
@@ -61,3 +64,8 @@ for label, o, d in (("coherent", o_cam, d_cam), ("surface", o_sur, d_sur)):
         m = (ppn >= 0) & (pxn >= 0)
         agree_t = np.allclose(tpn[m], txn[m], rtol=1e-4, atol=1e-5)
         print(f"  agreement: hit={agree_hit:.4f} t={agree_t} overflow_xla={bool(ofx)}")
+        tln, pln = np.asarray(tl), np.asarray(pls)
+        agree_hit_l = ((pln >= 0) == (pxn >= 0)).mean()
+        ml = (pln >= 0) & (pxn >= 0)
+        agree_t_l = np.allclose(tln[ml], txn[ml], rtol=1e-4, atol=1e-5)
+        print(f"  list agreement: hit={agree_hit_l:.4f} t={agree_t_l}")

@@ -205,9 +205,12 @@ def _mt_block(tri_rows, o, d):
     return _mt_rows_scalar(tri_rows, o, d)
 
 
-def _trace_pairs(scene: ClusterScene, ray_o, ray_d, t_lim):
-    """Shared phases 1-3.  Returns (r2, c2, t [P2,T], valid2 [P2],
-    tl2 [P2], overflow).
+def _build_pairs(scene: ClusterScene, ray_o, ray_d, t_lim):
+    """Phases 1-2: culling + pair expansion (no triangle work).
+
+    Returns (r2 [P2] ray ids, c2 [P2] cluster ids, valid2 [P2],
+    rays12 [B,12] packed ray rows, overflow).  Pairs are ray-major
+    (row-major order of the phase-1/2 masks).
 
     Gather discipline (gathers cost ~10ns PER ROW on this TPU, independent
     of width): ray fields are packed into ONE [B,12] row array; phase-1
@@ -299,6 +302,14 @@ def _trace_pairs(scene: ClusterScene, ray_o, ray_d, t_lim):
         c2 = pay[:, 1] * S_CLUSTER + jnp.minimum(c2_local, S_CLUSTER - 1)
 
     r2 = jnp.where(valid2, r2, B)
+    return r2, c2, valid2, rays12, of1 | of2
+
+
+def _trace_pairs(scene: ClusterScene, ray_o, ray_d, t_lim):
+    """Phases 1-3.  Returns (r2, c2, t [P2,T], valid2 [P2], tl2 [P2],
+    overflow)."""
+    B = ray_o.shape[0]
+    r2, c2, valid2, rays12, of = _build_pairs(scene, ray_o, ray_d, t_lim)
     r2c = jnp.minimum(r2, B - 1)
     # phase 3: cluster triangle tests (one 2.3KB row-gather per pair + the
     # packed ray row)
@@ -306,7 +317,7 @@ def _trace_pairs(scene: ClusterScene, ray_o, ray_d, t_lim):
     rg2 = rays12[r2c]                                             # [P2,12]
     t = _mt_block(tri_rows, rg2[:, 0:3], rg2[:, 3:6])             # [P2,T]
     t = jnp.where(valid2[:, None], t, BIG_T)
-    return r2, c2, t, valid2, rg2[:, 9], of1 | of2
+    return r2, c2, t, valid2, rg2[:, 9], of
 
 
 def _compact_mask(mask2d, budget, payload=None):
@@ -440,20 +451,9 @@ def _dense_cluster_mask(scene: ClusterScene, ray_o, inv_d, t_lim):
     return hit, tnear
 
 
-def closest_hit(scene: ClusterScene, ray_o, ray_d):
-    """Closest-hit for rays [B,3] -> (t [B], prim [B] (-1 miss), overflow).
-
-    Loop-free: all phases are dense math / wide gathers / segment reduce.
-    """
-    B = ray_o.shape[0]
-    t_lim = jnp.full((B,), BIG_T, ray_o.dtype)
-    r2, c2, t, valid2, _, overflow = _trace_pairs(scene, ray_o, ray_d, t_lim)
-
-    # per-pair closest triangle via pure reductions (no take_along gathers)
-    pair_t = jnp.min(t, axis=1)                               # [P2]
-    lane = jnp.argmin(t, axis=1)                              # fused reduce
-    pair_cl = c2 * T_CLUSTER + lane                           # packed winner
-
+def _reduce_closest(scene: ClusterScene, B, r2, pair_t, pair_cl, valid2):
+    """Per-pair (t, packed winner) -> per-ray (t, prim) via sorted segment
+    reductions (pairs must be ray-major; invalid pairs carry r2 == B)."""
     seg = r2                                    # invalid pairs -> dump row B
     best_t = jax.ops.segment_min(
         pair_t, seg, num_segments=B + 1, indices_are_sorted=True
@@ -471,6 +471,71 @@ def closest_hit(scene: ClusterScene, ray_o, ray_d):
     win_l = jnp.maximum(win, 0) % T_CLUSTER
     best_prim = scene.cl_tri_idx[win_c, win_l]
     best_prim = jnp.where((best_t < BIG_T) & (win >= 0), best_prim, -1)
+    return best_t, best_prim
+
+
+def candidate_clusters(scene: ClusterScene, ray_o, ray_d, t_lim, maxc: int):
+    """Per-ray nearest-first candidate cluster lists (fixed ``maxc`` slots).
+
+    Returns (cand [B,maxc] i32 cluster ids, -1 for empty slots;
+    ctn [B,maxc] f32 entry-t per slot (BIG_T on empty); overflow scalar —
+    True if any ray hit more than ``maxc`` cluster boxes).
+
+    This replaces the budgeted pair-expansion pipeline for the Pallas list
+    tracer: a dense [B,K2] slab test, then ``maxc`` min-reduction rounds
+    over a packed (quantized-tnear | cluster-id) key.  Positive-float bits
+    are order-preserving as int32, so dropping the low 11 mantissa bits
+    makes room for the cluster id and min() selects (nearest, its id) in
+    ONE reduction per round — no argmin/take_along, no compaction sorts,
+    no scatter.  Requires num_clusters <= 2048 (11-bit ids).
+    """
+    B = ray_o.shape[0]
+    k2 = scene.num_clusters
+    assert k2 <= 2048, "candidate_clusters: cluster-id field is 11 bits"
+    inv_d = _inv_dir(ray_d)
+    hit, tnear = _dense_cluster_mask(scene, ray_o, inv_d, t_lim)   # [B,K2]
+    tn = jnp.maximum(tnear, 0.0)
+    # positive-float-bits ordering; 11 low mantissa bits -> cluster id
+    tbits = jax.lax.bitcast_convert_type(tn, jnp.int32)
+    ids = jax.lax.broadcasted_iota(jnp.int32, hit.shape, 1)
+    key = (tbits & ~jnp.int32(0x7FF)) | ids
+    DEAD = jnp.int32(0x7F800000)          # +inf bits, id 0: above any real
+    rem = jnp.where(hit, key, DEAD)
+
+    cands = []
+    tns = []
+    for _ in range(maxc):
+        m = jnp.min(rem, axis=1)                                   # [B]
+        alive = m < DEAD
+        cands.append(jnp.where(alive, m & 0x7FF, -1))
+        tns.append(
+            jnp.where(
+                alive,
+                jax.lax.bitcast_convert_type(m & ~jnp.int32(0x7FF),
+                                             jnp.float32),
+                BIG_T,
+            )
+        )
+        rem = jnp.where(rem == m[:, None], DEAD, rem)
+    overflow = jnp.any(jnp.min(rem, axis=1) < DEAD)
+    return jnp.stack(cands, axis=1), jnp.stack(tns, axis=1), overflow
+
+
+def closest_hit(scene: ClusterScene, ray_o, ray_d):
+    """Closest-hit for rays [B,3] -> (t [B], prim [B] (-1 miss), overflow).
+
+    Loop-free: all phases are dense math / wide gathers / segment reduce.
+    """
+    B = ray_o.shape[0]
+    t_lim = jnp.full((B,), BIG_T, ray_o.dtype)
+    r2, c2, t, valid2, _, overflow = _trace_pairs(scene, ray_o, ray_d, t_lim)
+
+    # per-pair closest triangle via pure reductions (no take_along gathers)
+    pair_t = jnp.min(t, axis=1)                               # [P2]
+    lane = jnp.argmin(t, axis=1)                              # fused reduce
+    pair_cl = c2 * T_CLUSTER + lane                           # packed winner
+
+    best_t, best_prim = _reduce_closest(scene, B, r2, pair_t, pair_cl, valid2)
     return best_t, best_prim, overflow
 
 

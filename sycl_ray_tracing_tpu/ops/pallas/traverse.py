@@ -63,28 +63,20 @@ def fits_in_vmem(scene: ClusterScene) -> bool:
     )
 
 
-def _prefix_and_count(mask_row):
-    """mask_row (1, L) bool -> (inclusive prefix sum (1, L) i32, count)."""
-    L = mask_row.shape[1]
-    f = mask_row.astype(jnp.float32)
-    ii = jax.lax.broadcasted_iota(jnp.int32, (L, L), 0)
-    jj = jax.lax.broadcasted_iota(jnp.int32, (L, L), 1)
-    tri = (ii <= jj).astype(jnp.float32)
-    cum = jnp.dot(f, tri, preferred_element_type=jnp.float32)
-    return cum.astype(jnp.int32), jnp.sum(f).astype(jnp.int32)
-
-
-def _rank_select(cum, j):
-    """Index of the j-th set bit given the inclusive prefix sum (1, L)."""
-    return jnp.sum((cum <= j).astype(jnp.int32))
+def _nearest_lane(rem):
+    """Lane index of the minimum of ``rem`` (1, L) (first on ties)."""
+    L = rem.shape[1]
+    mn = jnp.min(rem)
+    lanes = jax.lax.broadcasted_iota(jnp.int32, rem.shape, 1)
+    return jnp.min(jnp.where(rem <= mn, lanes, L)), mn
 
 
 def _slab_planes(planes, ox, oy, oz, ix, iy, iz, t_lim):
     """AABB slab test: coordinate planes (6+, L) vs per-ray columns (RT,1).
 
-    Returns (hit (RT, L) bool).  Rows of ``planes``: minx,miny,minz,
-    maxx,maxy,maxz.  Matches ops/cluster.py:_slab_dense semantics
-    (tnear <= tfar, tfar > EPS, tnear < t_lim).
+    Returns (hit (RT, L) bool, tnear (RT, L)).  Rows of ``planes``:
+    minx,miny,minz,maxx,maxy,maxz.  Matches ops/cluster.py:_slab_dense
+    semantics (tnear <= tfar, tfar > EPS, tnear < t_lim).
     """
     x0 = (planes[0:1, :] - ox) * ix
     y0 = (planes[1:2, :] - oy) * iy
@@ -100,7 +92,8 @@ def _slab_planes(planes, ox, oy, oz, ix, iy, iz, t_lim):
         jnp.minimum(jnp.maximum(x0, x1), jnp.maximum(y0, y1)),
         jnp.maximum(z0, z1),
     )
-    return (tnear <= tfar) & (tfar > EPS) & (tnear < t_lim)
+    hit = (tnear <= tfar) & (tfar > EPS) & (tnear < t_lim)
+    return hit, tnear
 
 
 def _mt_tile(tri, ox, oy, oz, dx, dy, dz):
@@ -152,7 +145,15 @@ def _ray_columns(rays):
 
 def _traverse_kernel(sc_ref, clbox_ref, tris_ref, rays_ref,
                      t_ref, id_ref, *, k1, any_hit):
-    """One ray block against the VMEM-resident scene.
+    """One ray block against the VMEM-resident scene, nearest-first.
+
+    Both levels loop over boxes in order of increasing block entry-t
+    (min over rays of max(tnear, 0)), and re-cull before every visit:
+    a box is *alive* only for rays whose current best_t still exceeds
+    its entry-t (for occlusion, only for still-unblocked rays).  As
+    rays find hits, best_t shrinks and boxes behind hit points go
+    stale without being visited — per-ray early termination expressed
+    block-wide.  The loop exits when no alive box remains.
 
     sc_ref:    (8, _SC_PAD) f32   supercluster coordinate planes
     clbox_ref: (K1, 8, S)   f32   child cluster planes per supercluster
@@ -165,71 +166,78 @@ def _traverse_kernel(sc_ref, clbox_ref, tris_ref, rays_ref,
     ox, oy, oz, dx, dy, dz, ix, iy, iz = _ray_columns(rays)
     t_lim = rays[:, 6:7]                                    # (RT,1)
 
-    m1 = _slab_planes(sc_ref, ox, oy, oz, ix, iy, iz, t_lim)  # (RT,_SC_PAD)
-    schit = jnp.any(m1, axis=0, keepdims=True)              # (1,_SC_PAD)
-    cum1, n1 = _prefix_and_count(schit)
+    m1, tn1 = _slab_planes(sc_ref, ox, oy, oz, ix, iy, iz, t_lim)
+    tn1v = jnp.where(m1, jnp.maximum(tn1, 0.0), BIG_T)      # (RT,_SC_PAD)
+    lanes1 = jax.lax.broadcasted_iota(jnp.int32, (1, _SC_PAD), 1)
+    lanes2 = jax.lax.broadcasted_iota(jnp.int32, (1, S_CLUSTER), 1)
 
-    init = (jnp.broadcast_to(t_lim, (RT, 1)),
-            jnp.full((RT, 1), -1, jnp.int32))
-
-    def sc_body(i1, carry):
-        s = _rank_select(cum1, i1)                          # supercluster id
-        sc = jnp.minimum(s, k1 - 1)
-        planes = clbox_ref[sc]                              # (8, S)
-        best_t, best_id = carry
-        m2 = _slab_planes(planes, ox, oy, oz, ix, iy, iz, best_t)
-        clhit = jnp.any(m2, axis=0, keepdims=True)          # (1, S)
-        cum2, n2 = _prefix_and_count(clhit)
-
-        def cl_body(i2, inner):
-            c = _rank_select(cum2, i2)                      # child index
-            k = sc * S_CLUSTER + jnp.minimum(c, S_CLUSTER - 1)
-            bt, bi = inner
-            tri = tris_ref[k]                               # (9, T)
-            t = _mt_tile(tri, ox, oy, oz, dx, dy, dz)       # (RT, T)
-            tmin = jnp.min(t, axis=1, keepdims=True)        # (RT, 1)
-            lanes = jax.lax.broadcasted_iota(
-                jnp.int32, t.shape, 1
-            )
-            lane = jnp.min(
-                jnp.where(t <= tmin, lanes, T_CLUSTER), axis=1, keepdims=True
-            )
-            packed = k * T_CLUSTER + lane
-            upd = tmin < bt
-            bt = jnp.where(upd, tmin, bt)
-            bi = jnp.where(upd, packed, bi)
-            return bt, bi
-
+    def _next(mv, bt, bi, done):
+        """Nearest still-useful lane given per-(ray,box) entry-t ``mv``
+        (BIG_T where no box hit), current bests, and a (1,L) row that
+        is BIG_T on already-visited lanes."""
+        alive = mv < bt                                     # (RT, L)
         if any_hit:
-            # early exit once every ray in the block is blocked
-            def cond(state):
-                i2, (bt, bi) = state
-                return (i2 < n2) & jnp.any(bi < 0)
+            alive = alive & (bi < 0)
+        rem = jnp.min(jnp.where(alive, mv, BIG_T), axis=0, keepdims=True)
+        return _nearest_lane(jnp.maximum(rem, done))
 
-            def wbody(state):
-                i2, inner = state
-                return i2 + 1, cl_body(i2, inner)
-
-            _, carry = jax.lax.while_loop(
-                cond, wbody, (jnp.int32(0), (best_t, best_id))
-            )
-            return carry
-        return jax.lax.fori_loop(0, n2, cl_body, (best_t, best_id))
-
-    if any_hit:
-        def sc_cond(state):
-            i1, (bt, bi) = state
-            return (i1 < n1) & jnp.any(bi < 0)
-
-        def sc_wbody(state):
-            i1, carry = state
-            return i1 + 1, sc_body(i1, carry)
-
-        _, (best_t, best_id) = jax.lax.while_loop(
-            sc_cond, sc_wbody, (jnp.int32(0), init)
+    def cl_process(k, bt, bi):
+        tri = tris_ref[k]                                   # (9, T)
+        t = _mt_tile(tri, ox, oy, oz, dx, dy, dz)           # (RT, T)
+        tmin = jnp.min(t, axis=1, keepdims=True)            # (RT, 1)
+        lanes = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
+        lane = jnp.min(
+            jnp.where(t <= tmin, lanes, T_CLUSTER), axis=1, keepdims=True
         )
-    else:
-        best_t, best_id = jax.lax.fori_loop(0, n1, sc_body, init)
+        packed = k * T_CLUSTER + lane
+        upd = tmin < bt
+        bt = jnp.where(upd, tmin, bt)
+        bi = jnp.where(upd, packed, bi)
+        return bt, bi
+
+    def sc_process(s, bt, bi):
+        planes = clbox_ref[s]                               # (8, S)
+        m2, tn2 = _slab_planes(planes, ox, oy, oz, ix, iy, iz, bt)
+        tn2v = jnp.where(m2, jnp.maximum(tn2, 0.0), BIG_T)
+
+        def cond2(state):
+            lane, mn, *_ = state
+            return mn < BIG_T
+
+        def body2(state):
+            lane, mn, bt, bi, done = state
+            k = s * S_CLUSTER + jnp.minimum(lane, S_CLUSTER - 1)
+            bt, bi = cl_process(k, bt, bi)
+            done = jnp.where(lanes2 == lane, BIG_T, done)
+            nlane, nmn = _next(tn2v, bt, bi, done)
+            return nlane, nmn, bt, bi, done
+
+        done2 = jnp.zeros((1, S_CLUSTER), jnp.float32)
+        lane0, mn0 = _next(tn2v, bt, bi, done2)
+        _, _, bt, bi, _ = jax.lax.while_loop(
+            cond2, body2, (lane0, mn0, bt, bi, done2)
+        )
+        return bt, bi
+
+    def cond1(state):
+        lane, mn, *_ = state
+        return mn < BIG_T
+
+    def body1(state):
+        lane, mn, bt, bi, done = state
+        s = jnp.minimum(lane, k1 - 1)
+        bt, bi = sc_process(s, bt, bi)
+        done = jnp.where(lanes1 == lane, BIG_T, done)
+        nlane, nmn = _next(tn1v, bt, bi, done)
+        return nlane, nmn, bt, bi, done
+
+    best_t = jnp.broadcast_to(t_lim, (RT, 1))
+    best_id = jnp.full((RT, 1), -1, jnp.int32)
+    done1 = jnp.zeros((1, _SC_PAD), jnp.float32)
+    lane0, mn0 = _next(tn1v, best_t, best_id, done1)
+    _, _, best_t, best_id, _ = jax.lax.while_loop(
+        cond1, body1, (lane0, mn0, best_t, best_id, done1)
+    )
     t_ref[:] = best_t
     id_ref[:] = best_id
 
@@ -250,10 +258,53 @@ def _scene_tables(scene: ClusterScene):
     return sc_planes, clbox, tris
 
 
-def _run(scene: ClusterScene, ray_o, ray_d, t_lim, any_hit: bool):
+def _spread3(v):
+    """Spread 8 bits of v so they occupy every third bit (Morton)."""
+    v = (v | (v << 16)) & 0x030000FF
+    v = (v | (v << 8)) & 0x0300F00F
+    v = (v | (v << 4)) & 0x030C30C3
+    v = (v | (v << 2)) & 0x09249249
+    return v
+
+
+def _sort_perm(scene: ClusterScene, ray_o, ray_d):
+    """Spatial sort permutation: direction octant (MSBs) then Morton code
+    of the origin quantized to an 8-bit grid over the scene bounds.
+
+    RT-ray blocks become spatially/directionally coherent, which is what
+    the kernel's block-level culling needs (measured on the 200k-tri
+    stand-in: unsorted surface blocks touch ~970 clusters, sorted ~350,
+    per-ray ideal ~19).  Cost: one 24-bit key sort + inverse-perm sort,
+    ~3M keys/ms on TPU — negligible next to traversal."""
+    lo = jnp.min(scene.sc_box[:, 0:3], axis=0)
+    hi = jnp.max(scene.sc_box[:, 3:6], axis=0)
+    q = (ray_o - lo) / jnp.maximum(hi - lo, 1e-9)
+    q = jnp.clip((q * 255.0), 0.0, 255.0).astype(jnp.int32)
+    m = (
+        (_spread3(q[:, 0]) << 2)
+        | (_spread3(q[:, 1]) << 1)
+        | _spread3(q[:, 2])
+    )
+    octant = (
+        ((ray_d[:, 0] > 0).astype(jnp.int32) << 2)
+        | ((ray_d[:, 1] > 0).astype(jnp.int32) << 1)
+        | (ray_d[:, 2] > 0).astype(jnp.int32)
+    )
+    key = (octant << 24) | (m >> 3)
+    perm = jnp.argsort(key)
+    inv = jnp.argsort(perm)
+    return perm, inv
+
+
+def _run(scene: ClusterScene, ray_o, ray_d, t_lim, any_hit: bool,
+         sort: bool = True):
     B = ray_o.shape[0]
     nb = -(-B // RT)
     pad = nb * RT - B
+    inv = None
+    if sort and B > RT:
+        perm, inv = _sort_perm(scene, ray_o, ray_d)
+        ray_o, ray_d, t_lim = ray_o[perm], ray_d[perm], t_lim[perm]
     rays = jnp.concatenate(
         [ray_o, ray_d, t_lim[:, None], jnp.zeros((B, 1), ray_o.dtype)],
         axis=1,
@@ -290,7 +341,10 @@ def _run(scene: ClusterScene, ray_o, ray_d, t_lim, any_hit: bool):
         ),
         interpret=interpret,
     )(sc_planes, clbox, tris, rays)
-    return t[:B, 0], packed[:B, 0]
+    t, packed = t[:B, 0], packed[:B, 0]
+    if inv is not None:
+        t, packed = t[inv], packed[inv]
+    return t, packed
 
 
 def closest_hit(scene: ClusterScene, ray_o, ray_d):

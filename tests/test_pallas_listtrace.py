@@ -1,0 +1,131 @@
+"""Pallas per-ray list tracer vs the brute-force oracle.
+
+Runs in interpret mode on CPU (the kernel auto-selects interpret off-TPU);
+the same kernel is compiled by Mosaic on the real chip (bench path).
+Capability parity: flattened-BVH traversal closest/any-hit
+(flattened_bvh.cpp:10-58), rebuilt as candidate lists + a VMEM kernel.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sycl_ray_tracing_tpu.ops.cluster import BIG_T, build_clusters
+from sycl_ray_tracing_tpu.ops.intersect import intersect_triangles
+from sycl_ray_tracing_tpu.ops.pallas.listtrace import (
+    any_hit,
+    closest_hit,
+    fits_in_vmem,
+    intersect_list,
+)
+
+
+def _random_rays(n, rng, lo=-2.0, hi=2.0):
+    o = rng.uniform(lo, hi, (n, 3)).astype(np.float32)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    return jnp.asarray(o), jnp.asarray(d)
+
+
+@pytest.mark.parametrize("n_tris,n_rays", [(40, 64), (500, 300), (2000, 257)])
+def test_closest_hit_matches_oracle(n_tris, n_rays):
+    rng = np.random.default_rng(n_tris)
+    tris_np = rng.uniform(-1, 1, (n_tris, 3, 3)).astype(np.float32)
+    tris = jnp.asarray(tris_np)
+    cs = build_clusters(tris_np)
+    assert fits_in_vmem(cs)
+    o, d = _random_rays(n_rays, rng)
+    oracle = intersect_triangles(o, d, tris)
+    t, prim, overflow = closest_hit(cs, o, d)
+    assert not bool(overflow)
+    m = np.asarray(oracle.hit)
+    np.testing.assert_array_equal(np.asarray(prim >= 0), m)
+    np.testing.assert_array_equal(
+        np.asarray(prim)[m], np.asarray(oracle.prim)[m]
+    )
+    np.testing.assert_allclose(
+        np.asarray(t)[m], np.asarray(oracle.t)[m], rtol=1e-4, atol=1e-6
+    )
+
+
+def test_any_hit_matches_oracle():
+    rng = np.random.default_rng(3)
+    tris_np = rng.uniform(-1, 1, (400, 3, 3)).astype(np.float32)
+    cs = build_clusters(tris_np)
+    o, d = _random_rays(256, rng)
+    oracle = intersect_triangles(o, d, jnp.asarray(tris_np))
+    m = np.asarray(oracle.hit)
+    for tm in (0.5, 2.0, 1e30):
+        t_max = jnp.full((256,), tm, jnp.float32)
+        got, _of = any_hit(cs, o, d, t_max)
+        want = m & (np.asarray(oracle.t) + 1e-4 < tm)
+        np.testing.assert_array_equal(np.asarray(got), want)
+
+
+def test_golden_rays_through_list_tracer(cornell_scene):
+    """The reference's recorded rays (bvh_tests.h) through the kernel."""
+    from tests.test_golden_rays import _parse_golden_data
+
+    hit_rays, expected_pts, miss_rays = _parse_golden_data()
+    tris = np.asarray(cornell_scene.triangles)
+    cs = build_clusters(tris)
+    o = jnp.asarray(hit_rays[:, :3])
+    d = jnp.asarray(hit_rays[:, 3:])
+    t, prim, _of = closest_hit(cs, o, d)
+    t = np.asarray(t)
+    assert (t < BIG_T).all()
+    pts = hit_rays[:, :3] + t[:, None] * hit_rays[:, 3:]
+    assert np.abs(pts - expected_pts).max() < 1e-5
+    t_m, prim_m, _of = closest_hit(
+        cs, jnp.asarray(miss_rays[:, :3]), jnp.asarray(miss_rays[:, 3:])
+    )
+    assert (np.asarray(t_m) >= BIG_T).all()
+    assert (np.asarray(prim_m) < 0).all()
+
+
+def test_mesh_scene_matches_oracle():
+    from sycl_ray_tracing_tpu.utils.procedural import dragon_standin
+
+    tris_np = dragon_standin(8_000)
+    tris = jnp.asarray(tris_np)
+    cs = build_clusters(tris_np)
+    rng = np.random.default_rng(11)
+    o, d = _random_rays(512, rng, -3, 3)
+    oracle = intersect_triangles(o, d, tris)
+    t, prim, _of = closest_hit(cs, o, d)
+    m = np.asarray(oracle.hit)
+    np.testing.assert_array_equal(np.asarray(prim >= 0), m)
+    np.testing.assert_allclose(
+        np.asarray(t)[m], np.asarray(oracle.t)[m], rtol=1e-4, atol=1e-6
+    )
+
+
+def test_overflow_flag_when_maxc_too_small():
+    """A long ray through many clusters must raise the overflow flag."""
+    from sycl_ray_tracing_tpu.utils.procedural import dragon_standin
+
+    tris_np = dragon_standin(8_000)
+    cs = build_clusters(tris_np)
+    # ray through the mesh center: slab-hits many clusters
+    o = jnp.asarray([[-3.0, 0.5, 0.0]], jnp.float32)
+    d = jnp.asarray([[1.0, 0.0, 0.0]], jnp.float32)
+    _t, _p, overflow = closest_hit(cs, o, d, maxc=2)
+    assert bool(overflow)
+
+
+def test_hit_record_finalize():
+    rng = np.random.default_rng(5)
+    tris_np = rng.uniform(-1, 1, (200, 3, 3)).astype(np.float32)
+    tris = jnp.asarray(tris_np)
+    cs = build_clusters(tris_np)
+    o, d = _random_rays(128, rng)
+    of = []
+    hit = intersect_list(cs, tris, o, d, of)
+    oracle = intersect_triangles(o, d, tris)
+    np.testing.assert_array_equal(np.asarray(hit.hit), np.asarray(oracle.hit))
+    m = np.asarray(oracle.hit)
+    np.testing.assert_allclose(
+        np.asarray(hit.point)[m], np.asarray(oracle.point)[m],
+        rtol=1e-4, atol=1e-5,
+    )
+    assert len(of) == 1
