@@ -1,14 +1,17 @@
 #!/usr/bin/env python
 """Benchmark: path-tracing throughput on one TPU chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 
-Headline workload = the reference renderer's own default benchmark
-(/root/reference/source/main.cpp:34-39): cornell_pbr.obj at 512x512,
-64 spp, 8 bounces — the exact configuration whose wall-clock the reference
-prints as its only performance number.  Rays counted = camera rays +
-continuation rays (W*H*spp*bounces), the conservative classic definition;
-NEE shadow/env queries (2 more scene queries per bounce) are NOT counted.
+Headline workload = BASELINE.json's literal metric: the flagship dragon
+scene (200k-tri stand-in for the missing pbrt_dragon.obj,
+/root/reference/.MISSING_LARGE_BLOBS:1-2) at 512x512, 1 spp/iter,
+8 bounces, forward — plus the same workload fwd+bwd (gradient step w.r.t.
+materials), and the reference renderer's own default benchmark
+(/root/reference/source/main.cpp:34-39: cornell_pbr 512x512, 64 spp,
+8 bounces) for continuity with round 1.  Rays counted = camera rays +
+continuation rays (W*H*spp*bounces); NEE shadow/env queries (2 more scene
+queries per bounce) are NOT counted.
 
 Timing notes:
   * the tunneled TPU backend's block_until_ready does not wait for device
@@ -16,7 +19,8 @@ Timing notes:
   * a persistent compilation cache makes reruns skip the slow remote
     compile; the UNAVAILABLE retry covers transient tunnel drops
 
-Baseline target: 50 Mrays/s/chip (BASELINE.md).  vs_baseline = value / 50.
+Baseline target: 50 Mrays/s/chip (BASELINE.md).  vs_baseline = dragon
+forward Mrays/s / 50.
 """
 
 from __future__ import annotations
@@ -25,6 +29,30 @@ import json
 import os
 import sys
 import time
+
+
+def _timed(fn, n=3, retries=3):
+    """Compile+warmup (with tunnel retries), then min wall-clock of n runs.
+    fn(i) must force a host transfer and return a numpy array."""
+    import numpy as np
+
+    for attempt in range(retries):
+        try:
+            out = fn(0)
+            break
+        except Exception as e:
+            if attempt == retries - 1:
+                raise
+            print(f"# warmup attempt {attempt} failed ({e!r}); retrying",
+                  file=sys.stderr)
+            time.sleep(45)
+    times = []
+    for i in range(n):
+        t0 = time.time()
+        out = fn(i + 1)
+        times.append(time.time() - t0)
+    assert np.isfinite(out).all(), "non-finite bench output"
+    return out, min(times)
 
 
 def main() -> int:
@@ -36,59 +64,81 @@ def main() -> int:
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+    import dataclasses
+
     import numpy as np
 
     from sycl_ray_tracing_tpu.models import pathtracer
-    from sycl_ray_tracing_tpu.models.camera import cornell_box_camera
+    from sycl_ray_tracing_tpu.models.camera import (
+        cornell_box_camera,
+        pbrt_dragon_camera,
+    )
     from sycl_ray_tracing_tpu.utils.config import RenderConfig
     from sycl_ray_tracing_tpu.utils.obj_loader import load_scene
+    from sycl_ray_tracing_tpu.utils.procedural import dragon_scene
 
-    width, height, spp, bounces = 512, 512, 64, 8
-    config = RenderConfig(
-        width=width, height=height, samples=spp, bounces=bounces,
-        intersect="brute", tile_rays=None, estimator="shared",
+    results = {}
+
+    # --- 1. reference default workload (round-1 continuity line) --------
+    w, h, spp, bounces = 512, 512, 64, 8
+    cfg = RenderConfig(width=w, height=h, samples=spp, bounces=bounces,
+                       intersect="brute", tile_rays=None, estimator="shared")
+    cornell = load_scene("/root/reference/data/OBJs/cornell_pbr.obj")
+    cam = cornell_box_camera()
+    render = jax.jit(lambda s, c, k: pathtracer.render(s, c, cfg, k))
+    img, dt = _timed(
+        lambda i: np.asarray(render(cornell, cam, jax.random.PRNGKey(i)))
     )
-    scene = load_scene("/root/reference/data/OBJs/cornell_pbr.obj")
-    camera = cornell_box_camera()
+    assert img.mean() > 0.05, "broken cornell render"
+    results["cornell_fwd_mrays"] = round(w * h * spp * bounces / dt / 1e6, 2)
 
-    render = jax.jit(lambda s, c, k: pathtracer.render(s, c, config, k))
+    # --- 2. flagship dragon, forward, 1 spp/iter ------------------------
+    w, h, spp, bounces = 512, 512, 1, 8
+    dcfg = RenderConfig(width=w, height=h, samples=spp, bounces=bounces,
+                        intersect="list", tile_rays=32768,
+                        estimator="shared")
+    dragon = dragon_scene(n_tris=200_000, with_sky=False)
+    dcam = pbrt_dragon_camera()
+    drender = jax.jit(lambda s, c, k: pathtracer.render(s, c, dcfg, k))
+    img, dt = _timed(
+        lambda i: np.asarray(drender(dragon, dcam, jax.random.PRNGKey(i)))
+    )
+    assert img.mean() > 1e-4, "broken dragon render"
+    dragon_rays = w * h * spp * bounces
+    mrays = dragon_rays / dt / 1e6
+    results["dragon_fwd_mrays"] = round(mrays, 3)
+    results["dragon_fwd_ms"] = round(dt * 1e3, 1)
 
-    def run(key):
-        img = render(scene, camera, key)
-        return np.asarray(img)  # host transfer = true device sync
+    # --- 3. flagship dragon, fwd+bwd (materials gradient step) ----------
+    mats = dragon.materials
 
-    # compile + warmup, with retries for transient tunnel UNAVAILABLE drops
-    for attempt in range(3):
-        try:
-            run(jax.random.PRNGKey(0))
-            break
-        except Exception as e:
-            if attempt == 2:
-                raise
-            print(f"# warmup attempt {attempt} failed ({e!r}); retrying",
-                  file=sys.stderr)
-            time.sleep(45)
+    def loss(diffuse, key):
+        s = dragon.with_materials(
+            dataclasses.replace(mats, diffuse=diffuse)
+        )
+        return pathtracer.render(s, dcam, dcfg, key).mean()
 
-    times = []
-    for i in range(3):
-        t0 = time.time()
-        img = run(jax.random.PRNGKey(i + 1))
-        times.append(time.time() - t0)
-    dt = min(times)
+    vg = jax.jit(jax.value_and_grad(loss))
 
-    assert np.isfinite(img).all() and img.mean() > 0.05, "broken render"
+    def run_bwd(i):
+        val, g = vg(mats.diffuse, jax.random.PRNGKey(i))
+        return np.asarray(g)
 
-    rays = width * height * spp * bounces
-    mrays = rays / dt / 1e6
+    g, dt_bwd = _timed(run_bwd)
+    assert np.abs(g).sum() > 0, "zero gradient in fwd+bwd bench"
+    results["dragon_fwd_bwd_mrays"] = round(dragon_rays / dt_bwd / 1e6, 3)
+    results["dragon_fwd_bwd_ms"] = round(dt_bwd * 1e3, 1)
+
     baseline = 50.0
     print(
         json.dumps(
             {
-                "metric": "Mrays/s/chip fwd (reference default workload: "
-                          "cornell_pbr 512x512, 64spp, 8 bounces)",
-                "value": round(mrays, 2),
+                "metric": "Mrays/s/chip fwd (dragon stand-in 200k tris, "
+                          "512x512, 1spp, 8 bounces, list backend)",
+                "value": results["dragon_fwd_mrays"],
                 "unit": "Mrays/s",
-                "vs_baseline": round(mrays / baseline, 3),
+                "vs_baseline": round(mrays / baseline, 4),
+                "extra": results,
             }
         )
     )

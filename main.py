@@ -30,7 +30,8 @@ def main(argv=None) -> int:
     from sycl_ray_tracing_tpu.ops.bvh import build_bvh
     from sycl_ray_tracing_tpu.ops.tonemap import tonemap
     from sycl_ray_tracing_tpu.utils.config import parse_cli
-    from sycl_ray_tracing_tpu.utils.hdr import read_hdr, write_hdr
+    from sycl_ray_tracing_tpu.utils.hdr import write_hdr
+    from sycl_ray_tracing_tpu.utils.image_io import read_image_float
     from sycl_ray_tracing_tpu.utils.obj_loader import load_scene
     from sycl_ray_tracing_tpu.utils.png import write_png
 
@@ -50,37 +51,89 @@ def main(argv=None) -> int:
             print(f"error: OBJ file not found: {obj_path}")
             return 2
 
+    from sycl_ray_tracing_tpu.utils.metrics import RenderMetrics
+
+    metrics = RenderMetrics()
     print(f"Reading OBJ {obj_path} ...")
     env_img = None
     if sky_path and os.path.exists(sky_path):
         print(f"Reading Environment Map {sky_path} ...")
-        env_img = read_hdr(sky_path, flip_y=True)
+        env_img = read_image_float(sky_path, flip_y=True)
     elif sky_path:
         print(f"(env map {sky_path} not found; rendering without sky)")
 
-    scene = load_scene(obj_path, env_map_image=env_img)
+    with metrics.phase("scene_load"):
+        scene = load_scene(obj_path, env_map_image=env_img)
     print(f"{scene.num_triangles} triangles, {scene.num_lights} lights")
 
     if config.intersect in ("auto", "bvh") and scene.num_triangles > 64:
         t0 = time.time()
         scene = scene.with_bvh(build_bvh(np.asarray(scene.triangles)))
         print(f"BVH build: {(time.time() - t0) * 1000:.0f}ms")
-    if config.intersect in ("cluster", "pallas"):
+    if config.intersect in ("cluster", "pallas", "list"):
         t0 = time.time()
         hint = config.tile_rays or config.width * config.height
         scene = scene.build_acceleration(num_rays_hint=hint)
+        metrics.timers["accel_build"] = time.time() - t0
         print(f"cluster build: {(time.time() - t0) * 1000:.0f}ms")
 
     camera = PRESETS[config.camera]()
     print(f"[{config.width}x{config.height}]: {config.samples} samples\n")
 
     key = jax.random.PRNGKey(0)
-    render = jax.jit(
-        lambda s, c, k: pathtracer.render(s, c, config, k, with_aux=True)
-    )
+
+    def render(scene, camera, key):
+        """Tiled render with in-flight progress prints (the reference
+        prints % per scanline band, render_kernel.cpp:205-209).  Each tile
+        is one jit dispatch of the same compiled program; np.asarray
+        forces device sync so the percentage is real progress."""
+        import dataclasses as _dc
+
+        import jax.numpy as jnp
+
+        W, H = config.width, config.height
+        tile = config.tile_rays
+        if not tile or tile >= W * H:
+            hdr, aux = jax.jit(
+                lambda s, c, k: pathtracer.render(s, c, config, k,
+                                                  with_aux=True)
+            )(scene, camera, key)
+            return np.asarray(hdr).reshape(H, W, 3), aux
+        B = W * H
+        n_tiles = -(-B // tile)
+        pad = n_tiles * tile - B
+        ys, xs = np.meshgrid(np.arange(H, dtype=np.float32),
+                             np.arange(W, dtype=np.float32), indexing="ij")
+        px = np.pad(xs.reshape(-1), (0, pad)).reshape(n_tiles, tile)
+        py = np.pad(ys.reshape(-1), (0, pad)).reshape(n_tiles, tile)
+        tile_fn = jax.jit(
+            lambda s, c, tx, ty, k: pathtracer.render_rays(
+                s, c, tx, ty, W, H, k, config.samples, config.bounces,
+                config.intersect, True, config.estimator,
+                config.samples_per_pass, config.max_radiance,
+                with_aux=True,
+                ggx_bug=(config.ggx_sampler == "reference"),
+            )
+        )
+        out = np.zeros((n_tiles * tile, 3), np.float32)
+        overflow = False
+        for i in range(n_tiles):
+            k = jax.random.fold_in(key, i)
+            hdr, aux = tile_fn(scene, camera, jnp.asarray(px[i]),
+                               jnp.asarray(py[i]), k)
+            out[i * tile:(i + 1) * tile] = np.asarray(hdr)
+            overflow = overflow or bool(aux["overflow"])
+            print(f"{(i + 1) * 100.0 / n_tiles:0.6g}%", flush=True)
+        return (out[:B].reshape(H, W, 3),
+                {"overflow": jnp.asarray(overflow)})
+
     t0 = time.time()
     hdr, aux = render(scene, camera, key)
-    hdr.block_until_ready()
+    np.asarray(hdr)
+    metrics.timers["render"] = time.time() - t0
+    metrics.count("rays",
+                  config.width * config.height * config.samples
+                  * config.bounces)
     print(f"{(time.time() - t0) * 1000:.0f}ms")
 
     # Cluster pair-budget overflow means hits MAY have been silently
@@ -100,7 +153,7 @@ def main(argv=None) -> int:
             cl.with_budgets(cl.p1_budget * 2, cl.p2_budget * 2)
         )
         hdr, aux = render(scene, camera, key)
-        hdr.block_until_ready()
+        np.asarray(hdr)
     else:
         if scene.clusters is not None and bool(aux["overflow"]):
             print("ERROR: cluster budgets still overflowing after growth; "
@@ -122,6 +175,7 @@ def main(argv=None) -> int:
         write_png(name, np.asarray(tonemap(den)))
         outputs.append(name)
     print("wrote " + ", ".join(outputs))
+    print(metrics.dump())
     return 0
 
 

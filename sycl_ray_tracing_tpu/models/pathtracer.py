@@ -65,7 +65,7 @@ def _uniforms(key, bounce, tag, shape):
 
 
 def intersect_scene(scene: Scene, ray_o, ray_d, backend: str = "auto",
-                    of: list | None = None) -> Hit:
+                    of: list | None = None, mask=None) -> Hit:
     """Closest-hit dispatch (reference INTERSECT_SCENE,
     render_kernel.cpp:504-511): wavefront clusters (the TPU-native
     structure), lockstep BVH, or brute-force triangles, plus brute-force
@@ -73,7 +73,10 @@ def intersect_scene(scene: Scene, ray_o, ray_d, backend: str = "auto",
 
     ``of``: optional overflow collector — cluster-backend pair-budget
     overflow flags are appended so the render API can report them instead
-    of silently dropping hits."""
+    of silently dropping hits.
+    ``mask``: optional [B] bool — False lanes are dead paths whose result
+    is unused; backends that support pruning (list) return a miss for
+    them at ~zero cost, others just ignore the hint."""
     if backend == "auto":
         if scene.clusters is not None:
             backend = "cluster"
@@ -85,6 +88,11 @@ def intersect_scene(scene: Scene, ray_o, ray_d, backend: str = "auto",
         from sycl_ray_tracing_tpu.ops.pallas.traverse import intersect_pallas
 
         hit = intersect_pallas(scene.clusters, scene.triangles, ray_o, ray_d)
+    elif backend == "list":
+        from sycl_ray_tracing_tpu.ops.pallas.listtrace import intersect_list
+
+        hit = intersect_list(scene.clusters, scene.triangles, ray_o, ray_d,
+                             of, mask=mask)
     elif backend == "cluster":
         from sycl_ray_tracing_tpu.ops.cluster import intersect_clusters
 
@@ -108,7 +116,7 @@ def intersect_scene(scene: Scene, ray_o, ray_d, backend: str = "auto",
 
 
 def occluded(scene: Scene, ray_o, ray_d, t_max=None, backend: str = "auto",
-             of: list | None = None):
+             of: list | None = None, mask=None):
     """Shadow-ray test with the reference's t_max - 1e-4 slack
     (evaluate_shadow_ray, render_kernel.cpp:744-759).  ``t_max=None`` means
     "blocked at any distance" (env-map MIS rays).  Uses the cheap any-hit
@@ -133,6 +141,29 @@ def occluded(scene: Scene, ray_o, ray_d, t_max=None, backend: str = "auto",
             jax.lax.stop_gradient(ray_d),
             jax.lax.stop_gradient(t_max),
         )
+        if scene.num_spheres > 0:
+            n = scene.num_triangles
+            sphere_prim = n + jnp.arange(scene.num_spheres, dtype=jnp.int32)
+            s_hit = intersect_spheres(
+                ray_o, ray_d, scene.sphere_centers, scene.sphere_radii,
+                sphere_prim,
+            )
+            blocked = blocked | (s_hit.hit & (s_hit.t + 1e-4 < t_max))
+        return blocked
+    if backend == "list":
+        from sycl_ray_tracing_tpu.ops.pallas.listtrace import (
+            any_hit as list_any,
+        )
+
+        blocked, overflow = list_any(
+            scene.clusters,
+            jax.lax.stop_gradient(ray_o),
+            jax.lax.stop_gradient(ray_d),
+            jax.lax.stop_gradient(t_max),
+            mask=mask,
+        )
+        if of is not None:
+            of.append(overflow)
         if scene.num_spheres > 0:
             n = scene.num_triangles
             sphere_prim = n + jnp.arange(scene.num_spheres, dtype=jnp.int32)
@@ -208,9 +239,13 @@ def _material_of_prim(scene: Scene, prim):
 
 
 def _sample_lights_nee(scene, backend, hit, view, diffuse, metal, rough, key, bounce,
-                       of=None):
+                       of=None, live=None, ggx_bug=False):
     """Direct lighting from emissive triangles, both MIS terms
-    (reference sample_light_sources, render_kernel.cpp:633-713)."""
+    (reference sample_light_sources, render_kernel.cpp:633-713).
+    ``live``: optional [B] mask of lanes whose result is consumed — dead
+    lanes' scene queries are pruned (see intersect_scene)."""
+    if live is None:
+        live = hit.hit
     B = hit.t.shape[0]
     num_lights = scene.num_lights
     radiance = jnp.zeros((B, 3), jnp.float32)
@@ -235,7 +270,9 @@ def _sample_lights_nee(scene, backend, hit, view, diffuse, metal, rough, key, bo
 
     cos_light = jnp.maximum(0.0, dot(ln, -wi))
     front = cos_light > 0.0
-    shadowed = occluded(scene, origin, wi, dist, backend, of)
+    cos_surf = dot(hit.normal, wi)
+    shadowed = occluded(scene, origin, wi, dist, backend, of,
+                        mask=live & hit.hit & front & (cos_surf > 0.0))
 
     # sanitize masked lanes BEFORE arithmetic: a cos_light ~ 0 lane makes
     # light_pdf explode; even though the contribution is where-masked out,
@@ -248,7 +285,6 @@ def _sample_lights_nee(scene, backend, hit, view, diffuse, metal, rough, key, bo
     brdf = cook_torrance_eval(diffuse, metal, rough, wi, view, hit.normal)
     brdf_pdf = cook_torrance_pdf(rough, view, wi, hit.normal)
     mis_w = power_heuristic(light_pdf, brdf_pdf)
-    cos_surf = dot(hit.normal, wi)
     contrib = (
         light_emission
         * (cos_surf * mis_w / jnp.maximum(light_pdf, 1e-12))[..., None]
@@ -260,10 +296,14 @@ def _sample_lights_nee(scene, backend, hit, view, diffuse, metal, rough, key, bo
     # --- brdf-sample term: did a GGX-sampled ray hit an emitter? ---
     ub = _uniforms(key, bounce, _NEE_BRDF, (B, 2))
     brdf_s, wi_s, pdf_s = ggx_importance_sample(
-        diffuse, metal, rough, view, hit.normal, ub[:, 0], ub[:, 1]
+        diffuse, metal, rough, view, hit.normal, ub[:, 0], ub[:, 1],
+        reference_bug=ggx_bug,
     )
     origin_s = hit.point + hit.normal * 1e-5  # reference uses 1e-5 here (:684)
-    h2 = intersect_scene(scene, origin_s, wi_s, backend, of)
+    h2 = intersect_scene(
+        scene, origin_s, wi_s, backend, of,
+        mask=live & hit.hit & (pdf_s > 0.0) & jnp.any(brdf_s > 0.0, axis=-1),
+    )
     n_tris = scene.num_triangles
     cos_at_light = jnp.maximum(0.0, dot(h2.normal, -wi_s))
     hit_mat = _material_of_prim(scene, h2.prim)
@@ -299,9 +339,12 @@ def _sample_lights_nee(scene, backend, hit, view, diffuse, metal, rough, key, bo
 
 
 def _sample_env_nee(scene, backend, hit, view, diffuse, metal, rough, key, bounce,
-                    of=None):
+                    of=None, live=None, ggx_bug=False):
     """Direct lighting from the environment map, both MIS terms
-    (reference sample_environment_map, render_kernel.cpp:569-631)."""
+    (reference sample_environment_map, render_kernel.cpp:569-631).
+    ``live``: optional consumed-lane mask (see _sample_lights_nee)."""
+    if live is None:
+        live = hit.hit
     B = hit.t.shape[0]
     radiance = jnp.zeros((B, 3), jnp.float32)
     if scene.env_map is None:
@@ -313,7 +356,8 @@ def _sample_env_nee(scene, backend, hit, view, diffuse, metal, rough, key, bounc
     wi, env_rad, env_pdf, _ = env_ops.sample(sampler, u[:, 0], u[:, 1])
     cos_term = dot(hit.normal, wi)
     origin = hit.point + hit.normal * RAY_OFFSET
-    blocked = occluded(scene, origin, wi, None, backend, of)
+    blocked = occluded(scene, origin, wi, None, backend, of,
+                       mask=live & hit.hit & (cos_term > 0.0))
     brdf = cook_torrance_eval(diffuse, metal, rough, wi, view, hit.normal)
     brdf_pdf = cook_torrance_pdf(rough, view, wi, hit.normal)
     mis_w = power_heuristic(env_pdf, brdf_pdf)
@@ -326,11 +370,15 @@ def _sample_env_nee(scene, backend, hit, view, diffuse, metal, rough, key, bounc
     # --- brdf-sample term ---
     ub = _uniforms(key, bounce, _ENV_BRDF, (B, 2))
     brdf_s, wi_s, pdf_s = ggx_importance_sample(
-        diffuse, metal, rough, view, hit.normal, ub[:, 0], ub[:, 1]
+        diffuse, metal, rough, view, hit.normal, ub[:, 0], ub[:, 1],
+        reference_bug=ggx_bug,
     )
     cos_s = jnp.maximum(0.0, dot(hit.normal, wi_s))
     origin_s = hit.point + hit.normal * 1e-5  # reference offset (:615)
-    blocked_s = occluded(scene, origin_s, wi_s, None, backend, of)
+    blocked_s = occluded(
+        scene, origin_s, wi_s, None, backend, of,
+        mask=live & hit.hit & (pdf_s > 0.0) & (cos_s > 0.0),
+    )
     env_rad_s = env_ops.eval_direction(sampler.image, wi_s)
     env_pdf_s = env_ops.pdf_of_direction(sampler, wi_s)
     mis_w_s = power_heuristic(pdf_s, env_pdf_s)
@@ -342,7 +390,8 @@ def _sample_env_nee(scene, backend, hit, view, diffuse, metal, rough, key, bounc
 
 
 def trace(scene: Scene, ray_o, ray_d, key, bounces: int,
-          backend: str = "auto", nee: bool = True, with_aux: bool = False):
+          backend: str = "auto", nee: bool = True, with_aux: bool = False,
+          ggx_bug: bool = False, remat: bool = True):
     """Trace one path per ray; returns radiance [B,3].
 
     Vectorized equivalent of the reference bounce loop
@@ -359,7 +408,7 @@ def trace(scene: Scene, ray_o, ray_d, key, bounces: int,
         ray_o, ray_d, throughput, radiance, alive, overflow = carry
         of = []
 
-        hit = intersect_scene(scene, ray_o, ray_d, backend, of)
+        hit = intersect_scene(scene, ray_o, ray_d, backend, of, mask=alive)
         live_hit = alive & hit.hit
 
         mat_idx = _material_of_prim(scene, hit.prim)
@@ -375,10 +424,10 @@ def trace(scene: Scene, ray_o, ray_d, key, bounces: int,
             # direct lighting (NEE + MIS), masked to live hits
             direct = _sample_lights_nee(
                 scene, backend, hit, view, diffuse, metal, rough, key,
-                bounce, of
+                bounce, of, live=live_hit, ggx_bug=ggx_bug
             ) + _sample_env_nee(
                 scene, backend, hit, view, diffuse, metal, rough, key,
-                bounce, of
+                bounce, of, live=live_hit, ggx_bug=ggx_bug
             )
             radiance = radiance + jnp.where(
                 live_hit[..., None], direct * throughput, 0.0
@@ -417,7 +466,8 @@ def trace(scene: Scene, ray_o, ray_d, key, bounces: int,
         uc = _uniforms(key, bounce, _CONT, (B, 2))
         if nee:
             brdf_c, wi_c, pdf_c = ggx_importance_sample(
-                diffuse, metal, rough, view, hit.normal, uc[:, 0], uc[:, 1]
+                diffuse, metal, rough, view, hit.normal, uc[:, 0], uc[:, 1],
+                reference_bug=ggx_bug,
             )
         else:
             from sycl_ray_tracing_tpu.ops.sampling import cosine_hemisphere
@@ -453,8 +503,11 @@ def trace(scene: Scene, ray_o, ray_d, key, bounces: int,
         jnp.ones((B,), bool),
         jnp.zeros((), bool),
     )
+    body = bounce_body
+    if remat:
+        body = jax.checkpoint(bounce_body, prevent_cse=False)
     (ray_o, ray_d, throughput, radiance, alive, overflow), _ = jax.lax.scan(
-        bounce_body, init, jnp.arange(bounces), length=bounces
+        body, init, jnp.arange(bounces), length=bounces
     )
     if with_aux:
         return radiance, {"overflow": overflow}
@@ -462,7 +515,8 @@ def trace(scene: Scene, ray_o, ray_d, key, bounces: int,
 
 
 def trace_shared(scene: Scene, ray_o, ray_d, key, bounces: int,
-                 backend: str = "auto", with_aux: bool = False):
+                 backend: str = "auto", with_aux: bool = False,
+                 ggx_bug: bool = False, remat: bool = True):
     """Shared-sample wavefront integrator: the TPU-fast estimator.
 
     Per bounce: ONE GGX importance sample serves the light-MIS brdf term,
@@ -549,10 +603,20 @@ def trace_shared(scene: Scene, ray_o, ray_d, key, bounces: int,
         # --- ONE GGX sample for all brdf-sampled estimators this bounce ---
         uc = _uniforms(key, bounce, _CONT, (B, 2))
         brdf_s, wi_s, pdf_s = ggx_importance_sample(
-            diffuse, metal, rough, view, hit.normal, uc[:, 0], uc[:, 1]
+            diffuse, metal, rough, view, hit.normal, uc[:, 0], uc[:, 1],
+            reference_bug=ggx_bug,
         )
         cos_s = jnp.maximum(0.0, dot(hit.normal, wi_s))
-        h2 = intersect_scene(scene, origin, wi_s, backend, of)  # closest-hit #1
+        # continuation viability is known BEFORE tracing: dead lanes are
+        # masked out of the sweep (list backend skips their blocks)
+        cont_ok = (
+            live_hit
+            & (pdf_s >= 1e-8)
+            & jnp.isfinite(pdf_s)
+            & jnp.any(brdf_s > 0.0, axis=-1)
+        )
+        h2 = intersect_scene(scene, origin, wi_s, backend, of,
+                             mask=cont_ok)  # closest-hit #1
 
         direct = jnp.zeros((B, 3), jnp.float32)
 
@@ -573,7 +637,11 @@ def trace_shared(scene: Scene, ray_o, ray_d, key, bounces: int,
             wi_l = to_light / jnp.maximum(dist, 1e-12)[..., None]
             cos_light = jnp.maximum(0.0, dot(ln, -wi_l))
             front = cos_light > 0.0
-            shadowed = occluded(scene, origin, wi_l, dist, backend, of)
+            cos_surf = dot(hit.normal, wi_l)
+            shadowed = occluded(
+                scene, origin, wi_l, dist, backend, of,
+                mask=live_hit & front & (cos_surf > 0.0),
+            )
             light_pdf = pdf_area * dist * dist / jnp.maximum(cos_light, 1e-6)
             light_pdf = jnp.where(front, light_pdf, 1.0)
             brdf_l = cook_torrance_eval(
@@ -581,7 +649,6 @@ def trace_shared(scene: Scene, ray_o, ray_d, key, bounces: int,
             )
             brdf_pdf_l = cook_torrance_pdf(rough, view, wi_l, hit.normal)
             mis_w = power_heuristic(light_pdf, brdf_pdf_l)
-            cos_surf = dot(hit.normal, wi_l)
             ok = front & (~shadowed) & (brdf_pdf_l != 0.0) & (cos_surf > 0.0)
             direct = direct + jnp.where(
                 ok[..., None],
@@ -630,7 +697,8 @@ def trace_shared(scene: Scene, ray_o, ray_d, key, bounces: int,
                 sampler, u[:, 0], u[:, 1]
             )
             cos_e = dot(hit.normal, wi_e)
-            blocked = occluded(scene, origin, wi_e, None, backend, of)
+            blocked = occluded(scene, origin, wi_e, None, backend, of,
+                               mask=live_hit & (cos_e > 0.0))
             brdf_e = cook_torrance_eval(
                 diffuse, metal, rough, wi_e, view, hit.normal
             )
@@ -649,7 +717,7 @@ def trace_shared(scene: Scene, ray_o, ray_d, key, bounces: int,
             env_rad_s = env_ops.eval_direction(sampler.image, wi_s)
             env_pdf_s = env_ops.pdf_of_direction(sampler, wi_s)
             mis_ws = power_heuristic(pdf_s, env_pdf_s)
-            ok_s = (~h2.hit) & (pdf_s > 0.0) & (cos_s > 0.0)
+            ok_s = (~h2.hit) & cont_ok & (cos_s > 0.0)
             direct = direct + jnp.where(
                 ok_s[..., None],
                 brdf_s
@@ -663,12 +731,7 @@ def trace_shared(scene: Scene, ray_o, ray_d, key, bounces: int,
         )
 
         # --- continuation on the SAME sample; h2 is the next bounce's hit ---
-        ok_c = (
-            live_hit
-            & (pdf_s >= 1e-8)
-            & jnp.isfinite(pdf_s)
-            & jnp.any(brdf_s > 0.0, axis=-1)
-        )
+        ok_c = cont_ok
         new_tp = throughput * brdf_s * (
             cos_s / jnp.maximum(pdf_s, 1e-12)
         )[..., None]
@@ -692,7 +755,10 @@ def trace_shared(scene: Scene, ray_o, ray_d, key, bounces: int,
         jnp.ones((B,), bool),
         of_init,
     )
-    carry, _ = jax.lax.scan(bounce_body, init, jnp.arange(bounces),
+    body = bounce_body
+    if remat:
+        body = jax.checkpoint(bounce_body, prevent_cse=False)
+    carry, _ = jax.lax.scan(body, init, jnp.arange(bounces),
                             length=bounces)
     if with_aux:
         return carry[4], {"overflow": carry[6]}
@@ -703,7 +769,8 @@ def render_rays(scene: Scene, camera: Camera, px, py,
                 width: int, height: int, key, samples: int, bounces: int,
                 backend: str = "auto", nee: bool = True,
                 estimator: str = "parity", samples_per_pass: int = 1,
-                max_radiance=None, with_aux: bool = False):
+                max_radiance=None, with_aux: bool = False,
+                ggx_bug: bool = False, remat: bool = True):
     """Average ``samples`` jittered paths per pixel; returns HDR [B,3].
 
     Jitter matches the reference: uniform in [c-0.5, c+0.5) around pixel
@@ -732,10 +799,11 @@ def render_rays(scene: Scene, camera: Camera, px, py,
         ro, rd = camera.generate_rays(jx, jy, width, height)
         if estimator == "shared" and nee:
             rad, aux = trace_shared(scene, ro, rd, ks, bounces, backend,
-                                    with_aux=True)
+                                    with_aux=True, ggx_bug=ggx_bug,
+                                    remat=remat)
         else:
             rad, aux = trace(scene, ro, rd, ks, bounces, backend, nee,
-                             with_aux=True)
+                             with_aux=True, ggx_bug=ggx_bug, remat=remat)
         if max_radiance is not None:
             # per-sample firefly clamp (biased, like all production clamps)
             rad = jnp.minimum(rad, max_radiance)
@@ -743,8 +811,17 @@ def render_rays(scene: Scene, camera: Camera, px, py,
             rad = rad.reshape(P, B, 3).sum(axis=0)
         return (accum + rad, overflow | aux["overflow"]), None
 
+    # Path-replay backward (SURVEY §7.6): with ``remat`` the backward pass
+    # REPLAYS each sample's (and bounce's) forward from its counter-derived
+    # RNG keys instead of storing scan intermediates — O(1 sample) live
+    # memory for the whole render graph, at ~2x forward FLOPs.  Exactness
+    # relies on the keyed-uniform design (_uniforms folds (sample, bounce,
+    # purpose)): recomputation reproduces identical sample streams.
+    sbody = sample_body
+    if remat:
+        sbody = jax.checkpoint(sample_body, prevent_cse=False)
     (accum, overflow), _ = jax.lax.scan(
-        sample_body,
+        sbody,
         (jnp.zeros((B, 3), jnp.float32), jnp.zeros((), bool)),
         jnp.arange(samples // P),
     )
@@ -773,6 +850,7 @@ def render(scene: Scene, camera: Camera, config: RenderConfig, key,
             scene, camera, px, py, W, H, key, config.samples, config.bounces,
             config.intersect, True, config.estimator, config.samples_per_pass,
             config.max_radiance, with_aux=True,
+            ggx_bug=(config.ggx_sampler == "reference"),
         )
         if with_aux:
             return hdr.reshape(1, 1, 3), aux
@@ -792,6 +870,7 @@ def render(scene: Scene, camera: Camera, config: RenderConfig, key,
             scene, camera, px, py, W, H, key, config.samples, config.bounces,
             config.intersect, True, config.estimator, config.samples_per_pass,
             config.max_radiance, with_aux=True,
+            ggx_bug=(config.ggx_sampler == "reference"),
         )
         if with_aux:
             return hdr.reshape(H, W, 3), aux
@@ -811,6 +890,7 @@ def render(scene: Scene, camera: Camera, config: RenderConfig, key,
             scene, camera, tpx, tpy, W, H, k, config.samples, config.bounces,
             config.intersect, True, config.estimator, config.samples_per_pass,
             config.max_radiance, with_aux=True,
+            ggx_bug=(config.ggx_sampler == "reference"),
         )
 
     hdr, aux = jax.lax.map(do_tile, (px, py, jnp.arange(n_tiles)))

@@ -125,7 +125,7 @@ class Scene:
         )
 
         tris = np.asarray(self.triangles)
-        cs = build_clusters(tris)
+        cs = build_clusters(tris, order="sah")
         p1, p2 = default_budgets(num_rays_hint, cs.num_superclusters)
         return self.with_clusters(cs.with_budgets(p1, p2))
 

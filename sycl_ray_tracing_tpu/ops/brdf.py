@@ -145,24 +145,33 @@ def ggx_vndf_sample(roughness, view, normal, u1, u2):
     return h, pdf
 
 
-def ggx_importance_sample(diffuse, metalness, roughness, view, normal, u1, u2):
+def ggx_importance_sample(diffuse, metalness, roughness, view, normal, u1,
+                          u2, reference_bug: bool = False):
     """Sample a GGX microfacet normal, reflect, and evaluate in one call
     (reference cook_torrance_brdf_importance_sample, render_kernel.cpp:392-451).
 
     Returns (brdf [...,3], direction [...,3], pdf [...]).
     brdf and pdf are zero where the sampled microfacet normal fell below the
     surface (:409-411) or any of NoV/NoL/NoH was non-positive.
+
+    ``reference_bug=True`` replicates the reference's sampler verbatim
+    (render_kernel.cpp:404): it takes acos of the cos^2 expression WITHOUT
+    the square root, so the sampled distribution does not match the
+    pdf D*NoH/(4*VoH) it divides by — a biased estimator, kept only so the
+    parity suite can compare images against the reference binary
+    bug-for-bug.  Default is the corrected inversion, which matches
+    cook_torrance_pdf exactly.
     """
     alpha = roughness * roughness
     phi = 2.0 * jnp.pi * u1
     # Standard GGX-NDF inversion: cos^2(theta) = (1-u)/(u*(alpha^2-1)+1).
-    # NOTE: deliberate fix vs the reference (render_kernel.cpp:404), which
-    # samples acos((1-u)/(u*(alpha^4-1)+1)) — a distribution that does NOT
-    # match the pdf D*NoH/(4*VoH) it divides by (biased estimator).  Here the
-    # sampled distribution matches cook_torrance_pdf exactly.
     cos2 = (1.0 - u2) / (u2 * (alpha * alpha - 1.0) + 1.0)
-    cos_theta = safe_sqrt(jnp.clip(cos2, 0.0, 1.0))
-    sin_theta = safe_sqrt(jnp.maximum(0.0, 1.0 - cos2))
+    if reference_bug:
+        cos_theta = jnp.clip(cos2, 0.0, 1.0)
+        sin_theta = safe_sqrt(jnp.maximum(0.0, 1.0 - cos_theta * cos_theta))
+    else:
+        cos_theta = safe_sqrt(jnp.clip(cos2, 0.0, 1.0))
+        sin_theta = safe_sqrt(jnp.maximum(0.0, 1.0 - cos2))
     local_h = jnp.stack(
         [jnp.cos(phi) * sin_theta, jnp.sin(phi) * sin_theta, cos_theta],
         axis=-1,

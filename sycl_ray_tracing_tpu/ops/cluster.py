@@ -78,17 +78,44 @@ class ClusterScene:
         return dataclasses.replace(self, fanout=f)
 
 
-def build_clusters(triangles: np.ndarray, order: np.ndarray | None = None,
+def sah_order(triangles: np.ndarray) -> np.ndarray | None:
+    """Triangle permutation from the native binned-SAH builder's leaf
+    order (depth-first leaves).  Adjacent triangles then come from the
+    same SAH leaf, so fixed-size clusters get far tighter, less
+    overlapping AABBs than Morton order — which both shrinks per-ray
+    candidate counts and makes candidate entry-t informative for the list
+    tracer's early termination.  None if the native lib is unavailable."""
+    from sycl_ray_tracing_tpu import native
+
+    built = native.sah_build(np.asarray(triangles, np.float32), 4)
+    if built is None:
+        return None
+    _, _, slots = built
+    slots = slots[slots >= 0].astype(np.int64)
+    # leaf padding repeats triangle indices: keep first occurrences only
+    _, first = np.unique(slots, return_index=True)
+    order = slots[np.sort(first)]
+    if order.size != triangles.shape[0]:
+        return None
+    return order
+
+
+def build_clusters(triangles: np.ndarray, order=None,
                    p1_budget: int = 0, p2_budget: int = 0) -> ClusterScene:
     """Group triangles [N,3,3] into the two-level cluster table.
 
-    ``order``: optional spatial ordering (defaults to Morton order of AABB
-    centroids; pass a SAH-tree leaf order for tighter clusters).
+    ``order``: optional spatial ordering — an explicit permutation array,
+    "sah" (native SAH leaf order, falls back to Morton if the native lib
+    is missing), or None/"morton" for Morton order of AABB centroids.
     """
     from sycl_ray_tracing_tpu.ops.bvh import _morton3
 
     tris = np.asarray(triangles, np.float32)
     n = tris.shape[0]
+    if isinstance(order, str) and order == "sah":
+        order = sah_order(tris)
+    elif isinstance(order, str):  # "morton"
+        order = None
     if order is None:
         tmin = tris.min(axis=1)
         tmax = tris.max(axis=1)

@@ -20,12 +20,24 @@ the glue:
     (leading-dim dynamic index, 4.6 KB each), stacks them per-coordinate,
     and runs ONE (8,128) Moller-Trumbore tile — every sublane intersects
     its OWN cluster: zero cross-ray dilution.
-  * Early termination: per-ray candidate entry-t is monotone over rounds,
-    so "no ray has tn_r < best_t" is a permanent stop condition; each
-    remaining round is predicated off with pl.when (~10 cycles).
-  * Per-ray (t, winner) accumulate in the output refs across rounds — the
-    XLA tracer's segment_min/segment_max tail (17 ms at 32k rays) does
-    not exist here.
+
+Hard-won performance shape (measured on this chip, scratch/micro_copy.py
+and scratch/phase_bench.py):
+  * A fully pipelined straight-line round is ~140ns; EVERY (8,1)-shaped
+    op (lane slice, keepdims reduce, column broadcast) forces a vreg
+    relayout worth ~30ns, and EVERY data-dependent pl.when costs ~1.5us
+    in pipeline serialization regardless of whether it skips.
+  * So: per-round state is two full (RB,T) accumulators (elementwise min
+    of t per lane + the round that produced it), ray fields are broadcast
+    to (RB,T) ONCE per block, invalid candidate slots point at a
+    never-hit dummy tile (index K2) instead of being masked, and the
+    per-ray reduction happens in XLA on the kernel's (B,T) outputs.
+  * Early termination is ONE guard after the first ``GROUP`` rounds
+    (candidate entry-t is monotone per ray, so skipped work is provably
+    useless); finer-grained guards cost more than the rounds they save.
+  * Dead paths (mask=False) get t_lim=-BIG -> empty candidate lists, and
+    the ray sort pushes them into trailing all-dead blocks that exit at
+    the guard.
 
 Reference equivalent: flattened-BVH traversal + Triangle::intersect
 (flattened_bvh.cpp:10-58, triangle.h:16-60): same capability (closest-hit
@@ -52,6 +64,7 @@ from sycl_ray_tracing_tpu.ops.safe_math import EPS
 
 RB = 8            # rays per block = one sublane group
 DEFAULT_MAXC = 32  # candidate slots per ray (overflow flagged beyond)
+GROUP = 8          # unguarded leading rounds (see module docstring)
 
 # VMEM cap for the resident triangle table; larger scenes fall back to the
 # XLA cluster tracer (a third hierarchy level is the planned fix).
@@ -66,10 +79,10 @@ def fits_in_vmem(scene: ClusterScene) -> bool:
 
 
 def _mt8(ax, ay, az, bx, by, bz, cx, cy, cz, ox, oy, oz, dx, dy, dz, tl):
-    """Moller-Trumbore: per-sublane triangle planes (RB,T) vs per-sublane
-    ray columns (RB,1) -> t (RB,T), BIG_T where miss or t >= tl.
-    triangle.h:16-60 semantics, EPS=1e-7; t_lim folded in (t_lim is BIG_T
-    for closest-hit, t_max - SHADOW_EPS for occlusion)."""
+    """Moller-Trumbore on (RB,T) tiles; ALL operands (RB,T) — no column
+    broadcasts inside the round (triangle.h:16-60 semantics, EPS=1e-7;
+    t_lim folded in: BIG_T for closest-hit, t_max - SHADOW_EPS for
+    occlusion)."""
     e1x, e1y, e1z = bx - ax, by - ay, bz - az
     e2x, e2y, e2z = cx - ax, cy - ay, cz - az
     hx = dy * e2z - dz * e2y
@@ -97,114 +110,218 @@ def _mt8(ax, ay, az, bx, by, bz, cx, cy, cz, ox, oy, oz, dx, dy, dz, tl):
     return jnp.where(ok, t, BIG_T)
 
 
-def _list_kernel_impl(cand_s, cand_v_ref, ctn_ref, rays_ref, tris_ref,
-                      t_ref, id_ref, stk_ref, *, maxc, any_hit):
+def _list_kernel_impl(cand_s, ctn_ref, rays_ref, tris_ref,
+                      at_ref, ar_ref, stk_ref, *, maxc, any_hit):
     """One 8-ray block over its candidate lists.
 
-    cand_s:     (RB, maxc) i32 SMEM   candidate cluster per (ray, round)
-    cand_v_ref: (RB, maxc) i32 VMEM   same data, vector access
-    ctn_ref:    (RB, maxc) f32 VMEM   candidate entry-t (BIG_T empty)
-    rays_ref:   (RB, 8)    f32 VMEM   o3 d3 t_lim pad
-    tris_ref:   (K2, 9, T) f32 VMEM   resident triangle coordinate tiles
-    t_ref:      (RB, 1)    f32        best t (t_lim if miss)
-    id_ref:     (RB, 1)    i32        packed cluster*T+lane (-1 miss)
-    stk_ref:    (9, RB, T) f32 scratch: per-coordinate stacked tiles
+    cand_s:  (RB, maxc) i32 SMEM  candidate cluster per (ray, round);
+                                  empty slots carry the DUMMY id K2
+    ctn_ref: (RB, maxc) f32 VMEM  candidate entry-t (BIG_T empty)
+    rays_ref:(RB, 8)    f32 VMEM  o3 d3 t_lim pad
+    tris_ref:(K2+1,9,T) f32 VMEM  resident triangle tiles + dummy row K2
+    at_ref:  (RB, T)    f32 OUT   per-(ray,lane) min t across rounds
+    ar_ref:  (RB, T)    i32 OUT   round that produced at_ref's value
+    stk_ref: (9, RB, T) f32 scratch: per-coordinate stacked tiles
     """
+    shape = (RB, T_CLUSTER)
     rays = rays_ref[:]
-    ox, oy, oz = rays[:, 0:1], rays[:, 1:2], rays[:, 2:3]
-    dx, dy, dz = rays[:, 3:4], rays[:, 4:5], rays[:, 5:6]
-    tl = rays[:, 6:7]
-    t_ref[:] = tl
-    id_ref[:] = jnp.full((RB, 1), -1, jnp.int32)
+    bc = lambda c: jnp.broadcast_to(rays[:, c:c + 1], shape)  # noqa: E731
+    ox, oy, oz, dx, dy, dz, tl = (bc(c) for c in range(7))
+    at_ref[:] = tl
+    ar_ref[:] = jnp.full(shape, -1, jnp.int32)
 
-    for r in range(maxc):
-        tn_r = ctn_ref[:, r:r + 1]                       # (RB,1)
-        bt = t_ref[:]
-        useful = tn_r < bt
+    def _round(r):
+        for i in range(RB):
+            tile = tris_ref[cand_s[i, r]]                # (9, T)
+            for c in range(9):
+                stk_ref[c, i:i + 1, :] = tile[c:c + 1, :]
+        planes = [stk_ref[c] for c in range(9)]          # 9 x (RB, T)
+        t = _mt8(*planes, ox, oy, oz, dx, dy, dz, tl)
+        upd = t < at_ref[:]
+        at_ref[:] = jnp.where(upd, t, at_ref[:])
+        ar_ref[:] = jnp.where(upd, jnp.int32(r), ar_ref[:])
+
+    for r in range(min(GROUP, maxc)):
+        _round(r)
+
+    if maxc > GROUP:
+        # single early-exit guard: entry-t is monotone per ray, so if no
+        # ray's remaining candidates can beat its current best (min over
+        # lanes), the tail is provably useless.  For any-hit, an already
+        # blocked ray (best < t_lim) needs nothing more either.
+        bt = jnp.min(at_ref[:], axis=1, keepdims=True)   # (RB,1)
+        useful = ctn_ref[:, GROUP:maxc] < bt
         if any_hit:
-            useful = useful & (id_ref[:] < 0)
+            useful = useful & (bt >= rays[:, 6:7])
 
         @pl.when(jnp.any(useful))
-        def _round(r=r):
-            for i in range(RB):
-                k = jnp.maximum(cand_s[i, r], 0)
-                tile = tris_ref[k]                       # (9, T)
-                for c in range(9):
-                    stk_ref[c, i:i + 1, :] = tile[c:c + 1, :]
-            planes = [stk_ref[c] for c in range(9)]      # 9 x (RB, T)
-            t = _mt8(*planes, ox, oy, oz, dx, dy, dz, tl)
-            kvec = cand_v_ref[:, r:r + 1]                # (RB,1)
-            t = jnp.where(kvec >= 0, t, BIG_T)
-            tmin = jnp.min(t, axis=1, keepdims=True)
-            lanes = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
-            lane = jnp.min(
-                jnp.where(t <= tmin, lanes, T_CLUSTER), axis=1,
-                keepdims=True,
-            )
-            packed = kvec * T_CLUSTER + lane
-            bt0 = t_ref[:]
-            upd = tmin < bt0
-            t_ref[:] = jnp.where(upd, tmin, bt0)
-            id_ref[:] = jnp.where(upd, packed, id_ref[:])
+        def _tail():
+            for r in range(GROUP, maxc):
+                _round(r)
 
 
-def _run(scene: ClusterScene, ray_o, ray_d, t_lim, maxc, any_hit):
-    """Candidate lists (XLA) + list kernel.  Returns (t, packed, overflow)."""
+def _ray_sort_key(scene: ClusterScene, ray_o, ray_d):
+    """Spatial sort key: 18-bit Morton of the origin cell (6 bits/axis over
+    the scene bounds) + 3-bit direction octant.  Sorted rays give the
+    kernel homogeneous 8-ray blocks, so the tail guard actually fires
+    (unsorted blocks almost always contain one straggler)."""
+    lo = jnp.min(scene.sc_box[:, 0:3], axis=0)
+    hi = jnp.max(scene.sc_box[:, 3:6], axis=0)
+    q = jnp.clip((ray_o - lo) / jnp.maximum(hi - lo, 1e-6), 0.0, 1.0)
+    cell = (q * 63.0).astype(jnp.int32)                       # [B,3]
+    m = jnp.zeros(ray_o.shape[:1], jnp.int32)
+    for b in range(6):
+        for a in range(3):
+            m = m | (((cell[:, a] >> b) & 1) << (3 * b + a))
+    octant = (
+        (ray_d[:, 0] < 0).astype(jnp.int32) * 4
+        + (ray_d[:, 1] < 0).astype(jnp.int32) * 2
+        + (ray_d[:, 2] < 0).astype(jnp.int32)
+    )
+    return (m << 3) | octant
+
+
+def _run(scene: ClusterScene, ray_o, ray_d, t_lim, maxc, any_hit,
+         sort=True, mask=None):
+    """Candidate lists (XLA) + list kernel + XLA reduction tail.
+    Returns (t [B], packed winner cluster*T+lane [B] (-1 miss), overflow).
+
+    ``mask``: optional [B] bool — rays with mask=False are DEAD (their
+    result is a guaranteed miss): they get t_lim=-BIG so the candidate
+    build yields empty lists (tnear < t_lim never holds), and the sort key
+    pushes them behind every live ray.  The launch is then BUCKETED: the
+    candidate build and the kernel grid run only over the first
+    {1/8, 1/4, 1/2, 1} of blocks — the smallest bucket covering all live
+    rays — selected at runtime with lax.switch.  That makes the whole
+    sweep cost scale with the live fraction (a fixed-grid kernel has a
+    ~30ms floor at 32k rays no matter how many lanes are dead; measured
+    in scratch/mask_bench.py).
+    """
+    assert maxc <= 64, "winner packing uses 6 round bits"
     B = ray_o.shape[0]
     nb = -(-B // RB)
     pad = nb * RB - B
-    cand, ctn, overflow = candidate_clusters(scene, ray_o, ray_d, t_lim,
-                                             maxc)
+    k2 = scene.num_clusters
+    if mask is not None:
+        t_lim = jnp.where(mask, t_lim, -BIG_T)
+    perm = None
+    if sort and B >= 4 * RB:
+        key = _ray_sort_key(scene, ray_o, ray_d)
+        if mask is not None:
+            key = jnp.where(mask, key, jnp.int32(1) << 28)
+        perm = jnp.argsort(key)
+        ray_o, ray_d, t_lim = ray_o[perm], ray_d[perm], t_lim[perm]
+
     rays = jnp.concatenate(
         [ray_o, ray_d, t_lim[:, None], jnp.zeros((B, 1), ray_o.dtype)],
         axis=1,
     )
     if pad:
         rays = jnp.concatenate([rays, jnp.zeros((pad, 8), rays.dtype)], 0)
-        cand = jnp.concatenate(
-            [cand, jnp.full((pad, maxc), -1, jnp.int32)], 0)
-        ctn = jnp.concatenate([ctn, jnp.full((pad, maxc), BIG_T)], 0)
-
-    k2 = scene.num_clusters
-    tris = scene.cl_tris.reshape(k2, 9, T_CLUSTER)
+    tris = jnp.concatenate(
+        [
+            scene.cl_tris.reshape(k2, 9, T_CLUSTER),
+            jnp.zeros((1, 9, T_CLUSTER), jnp.float32),  # dummy: never hits
+        ],
+        axis=0,
+    )
     kernel = functools.partial(_list_kernel_impl, maxc=maxc,
                                any_hit=any_hit)
     interpret = jax.default_backend() != "tpu"
-    t, packed = pl.pallas_call(
-        kernel,
-        grid=(nb,),
-        in_specs=[
-            pl.BlockSpec((RB, maxc), lambda b: (b, 0),
-                         memory_space=pltpu.SMEM),        # cand scalar
-            pl.BlockSpec((RB, maxc), lambda b: (b, 0),
-                         memory_space=pltpu.VMEM),        # cand vector
-            pl.BlockSpec((RB, maxc), lambda b: (b, 0),
-                         memory_space=pltpu.VMEM),        # entry-t
-            pl.BlockSpec((RB, 8), lambda b: (b, 0),
-                         memory_space=pltpu.VMEM),        # rays
-            pl.BlockSpec(memory_space=pltpu.VMEM),        # triangle tiles
-        ],
-        out_specs=(
-            pl.BlockSpec((RB, 1), lambda b: (b, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((RB, 1), lambda b: (b, 0),
-                         memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((nb * RB, 1), jnp.float32),
-            jax.ShapeDtypeStruct((nb * RB, 1), jnp.int32),
-        ),
-        scratch_shapes=[pltpu.VMEM((9, RB, T_CLUSTER), jnp.float32)],
-        interpret=interpret,
-    )(cand, cand, ctn, rays, tris)
-    return t[:B, 0], packed[:B, 0], overflow
+
+    def run_bucket(g):
+        """Candidate build + kernel over the first ``g`` blocks only."""
+        rg = rays[: g * RB]
+        cand, ctn, overflow = candidate_clusters(
+            scene, rg[:, 0:3], rg[:, 3:6], rg[:, 6], maxc
+        )
+        cand_k = jnp.where(cand >= 0, cand, k2)  # empty slot -> dummy
+        at, ar = pl.pallas_call(
+            kernel,
+            grid=(g,),
+            in_specs=[
+                pl.BlockSpec((RB, maxc), lambda b: (b, 0),
+                             memory_space=pltpu.SMEM),        # cand ids
+                pl.BlockSpec((RB, maxc), lambda b: (b, 0),
+                             memory_space=pltpu.VMEM),        # entry-t
+                pl.BlockSpec((RB, 8), lambda b: (b, 0),
+                             memory_space=pltpu.VMEM),        # rays
+                pl.BlockSpec(memory_space=pltpu.VMEM),        # tiles
+            ],
+            out_specs=(
+                pl.BlockSpec((RB, T_CLUSTER), lambda b: (b, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((RB, T_CLUSTER), lambda b: (b, 0),
+                             memory_space=pltpu.VMEM),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((g * RB, T_CLUSTER), jnp.float32),
+                jax.ShapeDtypeStruct((g * RB, T_CLUSTER), jnp.int32),
+            ),
+            scratch_shapes=[pltpu.VMEM((9, RB, T_CLUSTER), jnp.float32)],
+            interpret=interpret,
+        )(cand_k, ctn, rays[: g * RB], tris)
+        fill = nb * RB - g * RB
+        if fill:
+            # beyond the bucket: only dead rays (sort invariant) -> miss
+            at = jnp.concatenate(
+                [at, jnp.broadcast_to(rays[g * RB:, 6:7],
+                                      (fill, T_CLUSTER))], 0)
+            ar = jnp.concatenate(
+                [ar, jnp.full((fill, T_CLUSTER), -1, jnp.int32)], 0)
+            cand = jnp.concatenate(
+                [cand, jnp.full((fill, maxc), -1, jnp.int32)], 0)
+        return at, ar, cand, overflow
+
+    if mask is None or perm is None:
+        at, ar, cand, overflow = run_bucket(nb)
+    else:
+        if interpret:
+            # interpret mode (CPU tests): 2 buckets keep the lax.switch
+            # path covered without 4x interpreter compiles
+            buckets = sorted({max(1, -(-nb // 4)), nb})
+        else:
+            buckets = sorted({max(1, -(-nb // 8)), max(1, -(-nb // 4)),
+                              max(1, -(-nb // 2)), nb})
+        n_live = jnp.sum(mask)
+        idx = jnp.zeros((), jnp.int32)
+        for bkt in buckets[:-1]:
+            idx = idx + (n_live > bkt * RB).astype(jnp.int32)
+        at, ar, cand, overflow = jax.lax.switch(
+            idx, [functools.partial(run_bucket, g) for g in buckets]
+        )
+
+    # XLA reduction tail over the per-lane accumulators (dense reductions
+    # only — no argmin/take_along on the hot path)
+    at, ar = at[:B], ar[:B]
+    cand = cand[:B]
+    tmin = jnp.min(at, axis=1)                            # [B]
+    hit = tmin < t_lim
+    lanes = jax.lax.broadcasted_iota(jnp.int32, at.shape, 1)
+    sel = at <= tmin[:, None]
+    # consistent (lane, round) winner: lane-major packing
+    pk = jnp.min(jnp.where(sel, lanes * 64 + jnp.minimum(ar, 63),
+                           jnp.int32(1 << 30)), axis=1)
+    lane = pk // 64
+    rwin = pk % 64
+    cl = jnp.take_along_axis(
+        cand, jnp.minimum(rwin, maxc - 1)[:, None], axis=1
+    )[:, 0]
+    packed = jnp.where(hit, cl * T_CLUSTER + lane, -1)
+    t = jnp.where(hit, tmin, BIG_T)
+    if perm is not None:
+        inv = jnp.argsort(perm)
+        t, packed = t[inv], packed[inv]
+    return t, packed, overflow
 
 
 def closest_hit(scene: ClusterScene, ray_o, ray_d,
-                maxc: int = DEFAULT_MAXC):
+                maxc: int = DEFAULT_MAXC, mask=None):
     """Closest-hit for rays [B,3] -> (t [B], prim [B] i32 -1 on miss,
     overflow) — overflow True iff some ray hit more than ``maxc`` cluster
-    boxes (possible dropped hits, like the XLA tracer's pair budgets)."""
+    boxes (possible dropped hits, like the XLA tracer's pair budgets).
+    ``mask``: False lanes are dead rays, reported as misses at ~zero
+    cost (see _run)."""
     if not fits_in_vmem(scene):
         raise ValueError(
             f"scene too large for the VMEM list tracer "
@@ -213,36 +330,38 @@ def closest_hit(scene: ClusterScene, ray_o, ray_d,
     B = ray_o.shape[0]
     t_lim = jnp.full((B,), BIG_T, ray_o.dtype)
     t, packed, overflow = _run(scene, ray_o, ray_d, t_lim, maxc,
-                               any_hit=False)
+                               any_hit=False, mask=mask)
     hit = packed >= 0
     win = jnp.maximum(packed, 0)
     prim = scene.cl_tri_idx[win // T_CLUSTER, win % T_CLUSTER]
-    prim = jnp.where(hit & (t < BIG_T), prim, -1)
-    return jnp.where(hit, t, BIG_T), prim, overflow
+    prim = jnp.where(hit, prim, -1)
+    return t, prim, overflow
 
 
 def any_hit(scene: ClusterScene, ray_o, ray_d, t_max,
-            maxc: int = DEFAULT_MAXC):
+            maxc: int = DEFAULT_MAXC, mask=None):
     """Occlusion: True where any triangle lies at t < t_max - SHADOW_EPS
     (reference evaluate_shadow_ray slack, render_kernel.cpp:744-759).
-    Returns (blocked [B] bool, overflow)."""
+    Returns (blocked [B] bool, overflow).  ``mask``: False lanes are dead
+    rays, reported unblocked at ~zero cost (see _run)."""
     if not fits_in_vmem(scene):
         raise ValueError("scene too large for the VMEM list tracer")
     t, packed, overflow = _run(
-        scene, ray_o, ray_d, t_max - SHADOW_EPS, maxc, any_hit=True
+        scene, ray_o, ray_d, t_max - SHADOW_EPS, maxc, any_hit=True,
+        mask=mask,
     )
     return packed >= 0, overflow
 
 
 def intersect_list(scene: ClusterScene, tris, ray_o, ray_d,
-                   of: list | None = None) -> Hit:
+                   of: list | None = None, mask=None) -> Hit:
     """Closest-hit with a differentiable hit record (stop-gradient +
     finalize recompute, same recipe as ops.cluster.intersect_clusters)."""
     from sycl_ray_tracing_tpu.ops.intersect import finalize_hit
 
     o_ng = jax.lax.stop_gradient(ray_o)
     d_ng = jax.lax.stop_gradient(ray_d)
-    _, prim, overflow = closest_hit(scene, o_ng, d_ng)
+    _, prim, overflow = closest_hit(scene, o_ng, d_ng, mask=mask)
     if of is not None:
         of.append(overflow)
     return finalize_hit(ray_o, ray_d, tris, prim)

@@ -41,12 +41,19 @@ class RenderConfig:
     # Introduces bounded darkening bias like every production clamp.
     max_radiance: Optional[float] = None
 
+    # GGX sampler: "fixed" (corrected NDF inversion, the default) or
+    # "reference" (replicates the reference's missing-sqrt sampler bug,
+    # render_kernel.cpp:404, for bug-for-bug image parity testing)
+    ggx_sampler: str = "fixed"
+
     def __post_init__(self):
         if self.intersect not in ("auto", "brute", "bvh", "cluster",
-                                  "pallas"):
+                                  "pallas", "list"):
             raise ValueError(f"bad intersect mode {self.intersect!r}")
         if self.estimator not in ("shared", "parity"):
             raise ValueError(f"bad estimator {self.estimator!r}")
+        if self.ggx_sampler not in ("fixed", "reference"):
+            raise ValueError(f"bad ggx_sampler {self.ggx_sampler!r}")
         if self.samples % self.samples_per_pass != 0:
             raise ValueError("samples must be divisible by samples_per_pass")
 

@@ -85,10 +85,38 @@ def read_hdr(path: str, flip_y: bool = False) -> np.ndarray:
                         pos += count
                         x += count
         else:
-            # flat scanline (possibly old-style RLE, not handled)
-            row = buf[pos : pos + w * 4].reshape(w, 4)
-            out[y] = row
-            pos += w * 4
+            row = buf[pos : pos + w * 4].reshape(-1, 4)
+            markers = (
+                (row[:, 0] == 1) & (row[:, 1] == 1) & (row[:, 2] == 1)
+            )
+            if not markers.any():
+                # flat scanline
+                out[y] = row
+                pos += w * 4
+            else:
+                # old-style RLE (stbi semantics, utils.cpp:100-124 via
+                # stb_image): a (1,1,1,n) pixel repeats the previous pixel
+                # n << shift times; consecutive markers bump shift by 8
+                flat = out.reshape(-1, 4)
+                i = y * w
+                end = h * w
+                shift = 0
+                prev = np.zeros(4, np.uint8)
+                while i < end and pos + 4 <= len(buf):
+                    px = buf[pos : pos + 4]
+                    pos += 4
+                    if px[0] == 1 and px[1] == 1 and px[2] == 1:
+                        n = int(px[3]) << shift
+                        n = min(n, end - i)
+                        flat[i : i + n] = prev
+                        i += n
+                        shift += 8
+                    else:
+                        flat[i] = px
+                        prev = px
+                        i += 1
+                        shift = 0
+                break
 
     img = _rgbe_to_float(out)
     if flip_y:

@@ -53,3 +53,16 @@ def test_env_map():
 @pytest.fixture(scope="session")
 def rng_key():
     return jax.random.PRNGKey(42)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Free compiled executables between test modules.
+
+    The suite compiles hundreds of XLA programs (including interpret-mode
+    Pallas kernels inside remat'd scans, which are large); keeping them
+    all cached has aborted the CPU compiler with resource exhaustion when
+    the whole suite runs in one process.  Module-scoped clearing bounds
+    the live set at a small compile-time cost."""
+    yield
+    jax.clear_caches()

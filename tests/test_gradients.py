@@ -132,7 +132,7 @@ def test_grad_camera_pose(cornell_scene, key):
     _fd_vs_ad(f, jnp.float32(0.0), 1e-3, rtol=0.1, atol=2e-3)
 
 
-@pytest.mark.parametrize("backend", ["brute", "bvh", "cluster"])
+@pytest.mark.parametrize("backend", ["brute", "bvh", "cluster", "list"])
 def test_grad_through_accel_backends(cornell_scene, key, backend):
     """FD-vs-AD through EVERY intersector — the accelerated backends use the
     stop_gradient + finalize_hit recompute recipe (ops/bvh.py intersect_bvh,
@@ -147,7 +147,7 @@ def test_grad_through_accel_backends(cornell_scene, key, backend):
     scene = cornell_scene
     if backend == "bvh":
         scene = scene.with_bvh(build_bvh(tris))
-    elif backend == "cluster":
+    elif backend in ("cluster", "list"):
         nrays = CFG.width * CFG.height
         scene = scene.with_clusters(
             build_clusters(tris).with_budgets(nrays * 2, nrays * 2)
@@ -190,11 +190,13 @@ def test_backends_agree_forward(cornell_scene, key):
     cam = cornell_box_camera()
     imgs = {
         b: np_.asarray(_render_mean_backend(scene, cam, key, b))
-        for b in ("brute", "bvh", "cluster")
+        for b in ("brute", "bvh", "cluster", "list")
     }
     np_.testing.assert_allclose(imgs["bvh"], imgs["brute"], rtol=1e-4,
                                 atol=1e-5)
     np_.testing.assert_allclose(imgs["cluster"], imgs["brute"], rtol=1e-4,
+                                atol=1e-5)
+    np_.testing.assert_allclose(imgs["list"], imgs["brute"], rtol=1e-4,
                                 atol=1e-5)
 
 
@@ -205,9 +207,13 @@ def _render_mean_backend(scene, cam, key, backend):
         jnp.arange(W, dtype=jnp.float32),
         indexing="ij",
     )
+    # remat=False: the checkpoint-wrapped interpret-mode Pallas program
+    # segfaults the XLA CPU compiler when compiled late in a long test
+    # process (upstream compiler bug; TPU compiles are remote and fine).
+    # Replay-backward correctness has its own dedicated test below.
     return pathtracer.render_rays(
         scene, cam, xs.reshape(-1), ys.reshape(-1), W, H, key,
-        CFG.samples, CFG.bounces, backend=backend,
+        CFG.samples, CFG.bounces, backend=backend, remat=False,
     )
 
 
@@ -224,3 +230,34 @@ def test_grad_is_nonzero_per_texel(cornell_scene, test_env_map, key):
     assert np.isfinite(g).all()
     assert (g >= -1e-8).all()
     assert (g > 0).any()
+
+
+def test_remat_backward_matches_stored(cornell_scene, key):
+    """Path-replay backward (jax.checkpoint over the sample/bounce scans,
+    SURVEY §7.6): gradients are IDENTICAL to the store-everything autodiff
+    — recomputation replays the same counter-derived RNG streams."""
+    import dataclasses as _dc
+
+    cam = cornell_box_camera()
+    mats = cornell_scene.materials
+    W = H = 8
+
+    def f(shift, remat):
+        new = _dc.replace(mats, diffuse=mats.diffuse * (1.0 + shift))
+        s = cornell_scene.with_materials(new)
+        ys, xs = jnp.meshgrid(
+            jnp.arange(H, dtype=jnp.float32),
+            jnp.arange(W, dtype=jnp.float32),
+            indexing="ij",
+        )
+        hdr = pathtracer.render_rays(
+            s, cam, xs.reshape(-1), ys.reshape(-1), W, H, key,
+            4, 3, estimator="shared", remat=remat,
+        )
+        return jnp.mean(hdr)
+
+    g_remat = jax.grad(lambda x: f(x, True))(jnp.float32(0.0))
+    g_store = jax.grad(lambda x: f(x, False))(jnp.float32(0.0))
+    assert np.isfinite(g_remat) and g_remat > 0
+    np.testing.assert_allclose(np.asarray(g_remat), np.asarray(g_store),
+                               rtol=1e-5)

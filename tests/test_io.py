@@ -105,3 +105,77 @@ def test_bmp_writer(tmp_path):
     row0 = np.frombuffer(data[54:54 + 15], np.uint8).reshape(5, 3)[:, ::-1]
     expected = (np.clip(img[6], 0, 1) * 255 + 0.5).astype(np.uint8)
     np.testing.assert_array_equal(row0, expected)
+
+
+def test_read_png_roundtrip(tmp_path):
+    """Our PNG reader decodes our PNG writer's output byte-exactly."""
+    from sycl_ray_tracing_tpu.utils.image_io import read_png
+    from sycl_ray_tracing_tpu.utils.png import write_png
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (33, 47, 3), dtype=np.uint8)
+    p = tmp_path / "t.png"
+    write_png(str(p), img, flip_y=False)
+    back = read_png(str(p))
+    np.testing.assert_array_equal(back, img)
+
+
+def test_read_bmp_roundtrip(tmp_path):
+    from sycl_ray_tracing_tpu.utils.image_io import read_bmp
+    from sycl_ray_tracing_tpu.utils.png import write_bmp
+
+    rng = np.random.default_rng(6)
+    img = rng.integers(0, 256, (21, 13, 3), dtype=np.uint8)
+    p = tmp_path / "t.bmp"
+    write_bmp(str(p), img, flip_y=False)
+    back = read_bmp(str(p))
+    np.testing.assert_array_equal(back, img)
+
+
+def test_read_image_float_ldr_semantics(tmp_path):
+    """LDR decode is /255 with NO gamma change (image_io.cpp:96-126 —
+    the reference leaves linearization as a TODO and ships without it)."""
+    from sycl_ray_tracing_tpu.utils.image_io import read_image_float
+    from sycl_ray_tracing_tpu.utils.png import write_png
+
+    img = np.array([[[0, 128, 255]]], dtype=np.uint8)
+    p = tmp_path / "t.png"
+    write_png(str(p), img, flip_y=False)
+    out = read_image_float(str(p))
+    np.testing.assert_allclose(out[0, 0], [0.0, 128 / 255, 1.0], atol=1e-7)
+
+
+def test_read_image_float_hdr_dispatch(tmp_path):
+    from sycl_ray_tracing_tpu.utils.hdr import write_hdr
+    from sycl_ray_tracing_tpu.utils.image_io import read_image_float
+
+    rng = np.random.default_rng(7)
+    img = (rng.uniform(0, 4, (16, 24, 3))).astype(np.float32)
+    p = tmp_path / "t.hdr"
+    write_hdr(str(p), img)
+    out = read_image_float(str(p))
+    # RGBE shares one exponent across channels: absolute error of small
+    # channels scales with the pixel's max channel (~1/256 of it)
+    np.testing.assert_allclose(out, img, rtol=1e-2, atol=img.max() / 128)
+
+
+def test_old_style_rle_hdr(tmp_path):
+    """Hand-built old-style RLE scanlines (stb semantics: (1,1,1,n)
+    repeats the previous pixel, consecutive markers shift the count)."""
+    from sycl_ray_tracing_tpu.utils.hdr import _rgbe_to_float, read_hdr
+
+    w, h = 12, 2
+    # rows of pixels: first pixel literal, then a (1,1,1,11) run marker
+    px = np.array([128, 64, 32, 136], np.uint8)  # some RGBE value
+    px2 = np.array([20, 200, 90, 135], np.uint8)
+    stream = bytes(px) + bytes([1, 1, 1, 11])
+    stream += bytes(px2) + bytes([1, 1, 1, 11])
+    header = b"#?RADIANCE\nFORMAT=32-bit_rle_rgbe\n\n" + f"-Y {h} +X {w}\n".encode()
+    p = tmp_path / "old.hdr"
+    p.write_bytes(header + stream)
+    img = read_hdr(str(p))
+    assert img.shape == (h, w, 3)
+    want1 = _rgbe_to_float(px[None])[0]
+    want2 = _rgbe_to_float(px2[None])[0]
+    np.testing.assert_allclose(img[0], np.tile(want1, (w, 1)), rtol=1e-6)
+    np.testing.assert_allclose(img[1], np.tile(want2, (w, 1)), rtol=1e-6)

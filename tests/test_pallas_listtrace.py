@@ -129,3 +129,39 @@ def test_hit_record_finalize():
         rtol=1e-4, atol=1e-5,
     )
     assert len(of) == 1
+
+
+def test_mask_bucketing_matches_unmasked_on_live_lanes():
+    """Dead-lane pruning (mask + bucketed grids): live lanes return the
+    same hits as an unmasked run; dead lanes report clean misses."""
+    from sycl_ray_tracing_tpu.utils.procedural import dragon_standin
+
+    tris_np = dragon_standin(4_000)
+    cs = build_clusters(tris_np)
+    rng = np.random.default_rng(21)
+    B = 512
+    idx = rng.integers(0, tris_np.shape[0], B)
+    o = jnp.asarray(
+        tris_np[idx].mean(axis=1)
+        + rng.normal(0, 0.05, (B, 3)).astype(np.float32)
+    )
+    d = rng.normal(size=(B, 3)).astype(np.float32)
+    d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True))
+    for live_frac in (0.1, 0.6):
+        mask = jnp.asarray(rng.random(B) < live_frac)
+        t_m, p_m, _ = closest_hit(cs, o, d, mask=mask)
+        t_u, p_u, _ = closest_hit(cs, o, d)
+        m = np.asarray(mask)
+        np.testing.assert_array_equal(np.asarray(p_m)[m],
+                                      np.asarray(p_u)[m])
+        np.testing.assert_allclose(np.asarray(t_m)[m],
+                                   np.asarray(t_u)[m], rtol=1e-6)
+        assert (np.asarray(p_m)[~m] == -1).all()
+        assert (np.asarray(t_m)[~m] >= BIG_T).all()
+
+        tmax = jnp.full((B,), 2.0)
+        b_m, _ = any_hit(cs, o, d, tmax, mask=mask)
+        b_u, _ = any_hit(cs, o, d, tmax)
+        np.testing.assert_array_equal(np.asarray(b_m)[m],
+                                      np.asarray(b_u)[m])
+        assert not np.asarray(b_m)[~m].any()

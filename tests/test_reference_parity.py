@@ -1,0 +1,118 @@
+"""Forward-image parity against the ACTUAL compiled C++ reference.
+
+Builds the reference renderer (g++ -fopenmp, OIDN stubbed with an identity
+filter — refbuild/stub/) around a parity driver (refbuild/main_parity.cpp)
+that renders with a selectable camera and a constant gray env map (a
+black sky NaNs the reference's env-CDF sampling), and dumps the RAW
+linear float framebuffer.  The TPU-side render of the same scene at
+the same sample count must agree statistically: both are unbiased MC
+estimators of the same integral, so 8x8-block box-downsampled images
+(effective spp x 64 samples per block) must match within a few percent.
+
+Pins the BASELINE north-star clause "forward image allclose vs reference
+semantics at equal sample counts" to the reference binary itself
+(main.cpp:63-128, render_kernel.cpp:75-181) instead of internal
+cross-checks.
+"""
+
+import os
+import subprocess
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REFBUILD = os.path.join(REPO, "refbuild")
+BINARY = os.path.join(REFBUILD, "ref_parity")
+REF_SRC = "/root/reference/source"
+
+W, H, SPP, BOUNCES = 128, 128, 32, 8
+
+
+def _build_binary():
+    if os.path.exists(BINARY):
+        return True
+    srcs = [
+        os.path.join(REF_SRC, f)
+        for f in os.listdir(REF_SRC)
+        if f.endswith(".cpp") and f not in ("main.cpp", "tests.cpp")
+    ]
+    cmd = [
+        "g++", "-O2", "-fopenmp", "-std=c++20",
+        "-I/root/reference/include", "-I/root/reference/rapidobj",
+        "-I/root/reference/stbi", "-I" + os.path.join(REFBUILD, "stub"),
+        os.path.join(REFBUILD, "main_parity.cpp"), *srcs,
+        "-o", BINARY, "-lpthread",
+    ]
+    return subprocess.run(cmd, capture_output=True).returncode == 0
+
+
+def _read_f32(path):
+    with open(path, "rb") as f:
+        header = b""
+        while not header.endswith(b"\n"):
+            header += f.read(1)
+        tag, w, h = header.split()
+        assert tag == b"P6f"
+        data = np.fromfile(f, np.float32, int(w) * int(h) * 3)
+    return data.reshape(int(h), int(w), 3)
+
+
+def _block_mean(img, b=8):
+    h, w, _ = img.shape
+    return img.reshape(h // b, b, w // b, b, 3).mean(axis=(1, 3))
+
+
+@pytest.mark.slow
+def test_cornell_matches_reference_binary(tmp_path):
+    if not _build_binary():
+        pytest.skip("g++ or reference sources unavailable")
+    out = tmp_path / "ref_image.f32"
+    rc = subprocess.run(
+        [BINARY, "/root/reference/data/OBJs/cornell_pbr.obj",
+         f"--w={W}", f"--h={H}", f"--samples={SPP}",
+         f"--bounces={BOUNCES}", "--camera=cornell", "--skyval=0.5",
+         f"--out={out}"],
+        capture_output=True, timeout=600,
+    )
+    assert rc.returncode == 0, rc.stderr.decode()[:500]
+    ref = _read_f32(out)
+
+    import jax
+
+    from sycl_ray_tracing_tpu.models import pathtracer
+    from sycl_ray_tracing_tpu.models.camera import cornell_box_camera
+    from sycl_ray_tracing_tpu.utils.config import RenderConfig
+    from sycl_ray_tracing_tpu.utils.obj_loader import load_scene
+
+    # ggx_sampler="reference" replicates the reference's biased sampler
+    # (missing sqrt, render_kernel.cpp:404) so the comparison is
+    # bug-for-bug; with the corrected sampler the images differ visibly on
+    # the near-mirror walls (that deviation is deliberate and documented
+    # in ops/brdf.py).
+    cfg = RenderConfig(width=W, height=H, samples=SPP, bounces=BOUNCES,
+                       intersect="brute", estimator="parity",
+                       ggx_sampler="reference")
+    sky = np.full((16, 8, 3), 0.5, np.float32)
+    scene = load_scene("/root/reference/data/OBJs/cornell_pbr.obj",
+                       env_map_image=sky)
+    img = np.asarray(
+        pathtracer.render(scene, cornell_box_camera(), cfg,
+                          jax.random.PRNGKey(7))
+    ).reshape(H, W, 3)
+
+    assert np.isfinite(ref).all() and np.isfinite(img).all()
+    # The reference's frame buffer is ALREADY tone-mapped in-place
+    # (render_kernel.cpp:171-180: 1-exp(-1.5x) then gamma 1/2.2) — apply
+    # the same mapping to our linear HDR before comparing.
+    img = np.clip(1.0 - np.exp(-img * 1.5), 0.0, 1.0) ** (1.0 / 2.2)
+
+    # overall brightness within 1%
+    np.testing.assert_allclose(img.mean(), ref.mean(), rtol=0.01)
+    # 8x8-block means: same lighting structure within MC bounds
+    # (independent RNG streams at 32 spp -> a few % noise per block)
+    rb, ob = _block_mean(ref), _block_mean(img)
+    denom = np.maximum(rb, 0.05)  # ignore relative error in near-black
+    rel = np.abs(ob - rb) / denom
+    assert np.quantile(rel, 0.99) < 0.20, f"p99 rel err {np.quantile(rel, 0.99):.3f}"
+    assert rel.max() < 0.35, f"max rel err {rel.max():.3f}"
