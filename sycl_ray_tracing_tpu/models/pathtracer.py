@@ -615,12 +615,9 @@ def trace_shared(scene: Scene, ray_o, ray_d, key, bounces: int,
             & jnp.isfinite(pdf_s)
             & jnp.any(brdf_s > 0.0, axis=-1)
         )
-        h2 = intersect_scene(scene, origin, wi_s, backend, of,
-                             mask=cont_ok)  # closest-hit #1
-
-        direct = jnp.zeros((B, 3), jnp.float32)
-
-        # --- light NEE: light-sample term (any-hit #1) ---
+        # --- light/env sample geometry BEFORE any scene query, so the
+        # list backend can FUSE the bounce's continuation closest-hit and
+        # NEE shadow rays into ONE sort+candidate-build+kernel launch ---
         if num_lights > 0:
             u = _uniforms(key, bounce, _LIGHT, (B, 3))
             pick = jnp.minimum(
@@ -638,10 +635,55 @@ def trace_shared(scene: Scene, ray_o, ray_d, key, bounces: int,
             cos_light = jnp.maximum(0.0, dot(ln, -wi_l))
             front = cos_light > 0.0
             cos_surf = dot(hit.normal, wi_l)
-            shadowed = occluded(
-                scene, origin, wi_l, dist, backend, of,
-                mask=live_hit & front & (cos_surf > 0.0),
+            light_mask = live_hit & front & (cos_surf > 0.0)
+        if has_env:
+            sampler = scene.env_map
+            u_e = _uniforms(key, bounce, _ENV, (B, 2))
+            wi_e, env_rad, env_pdf, _ = env_ops.sample(
+                sampler, u_e[:, 0], u_e[:, 1]
             )
+            cos_e = dot(hit.normal, wi_e)
+            env_mask = live_hit & (cos_e > 0.0)
+
+        fuse = (backend == "list" and scene.clusters is not None
+                and scene.num_spheres == 0)
+        if fuse:
+            from sycl_ray_tracing_tpu.ops.cluster import (
+                SHADOW_EPS as _SH_EPS,
+            )
+            from sycl_ray_tracing_tpu.ops.intersect import finalize_hit
+            from sycl_ray_tracing_tpu.ops.pallas.listtrace import (
+                multi_query,
+                packed_to_prim,
+            )
+
+            queries = [(origin, wi_s, None, cont_ok)]
+            if num_lights > 0:
+                queries.append((origin, wi_l, dist - _SH_EPS, light_mask))
+            if has_env:
+                queries.append((origin, wi_e, None, env_mask))
+            res, ovf = multi_query(scene.clusters, queries)
+            of.append(ovf)
+            _, prim_c = packed_to_prim(scene.clusters, *res[0])
+            h2 = finalize_hit(origin, wi_s, scene.triangles, prim_c)
+            if num_lights > 0:
+                shadowed = res[1][1] >= 0
+            if has_env:
+                blocked = res[-1][1] >= 0
+        else:
+            h2 = intersect_scene(scene, origin, wi_s, backend, of,
+                                 mask=cont_ok)  # closest-hit #1
+            if num_lights > 0:
+                shadowed = occluded(scene, origin, wi_l, dist, backend,
+                                    of, mask=light_mask)
+            if has_env:
+                blocked = occluded(scene, origin, wi_e, None, backend, of,
+                                   mask=env_mask)
+
+        direct = jnp.zeros((B, 3), jnp.float32)
+
+        # --- light NEE: light-sample term (any-hit #1) ---
+        if num_lights > 0:
             light_pdf = pdf_area * dist * dist / jnp.maximum(cos_light, 1e-6)
             light_pdf = jnp.where(front, light_pdf, 1.0)
             brdf_l = cook_torrance_eval(
@@ -691,14 +733,6 @@ def trace_shared(scene: Scene, ray_o, ray_d, key, bounces: int,
 
         # --- env NEE: env-sample term (any-hit #2) ---
         if has_env:
-            sampler = scene.env_map
-            u = _uniforms(key, bounce, _ENV, (B, 2))
-            wi_e, env_rad, env_pdf, _ = env_ops.sample(
-                sampler, u[:, 0], u[:, 1]
-            )
-            cos_e = dot(hit.normal, wi_e)
-            blocked = occluded(scene, origin, wi_e, None, backend, of,
-                               mask=live_hit & (cos_e > 0.0))
             brdf_e = cook_torrance_eval(
                 diffuse, metal, rough, wi_e, view, hit.normal
             )

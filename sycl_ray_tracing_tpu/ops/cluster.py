@@ -529,10 +529,16 @@ def candidate_clusters(scene: ClusterScene, ray_o, ray_d, t_lim, maxc: int):
     DEAD = jnp.int32(0x7F800000)          # +inf bits, id 0: above any real
     rem = jnp.where(hit, key, DEAD)
 
+    # THRESHOLD-MIN extraction: the unique id bits make keys strictly
+    # increasing per ray, so round j is "min of keys above round j-1's
+    # key" — ONE read pass over [B,K2] per round with NO update writes.
+    # (The previous form re-read AND rewrote rem every round — 3x the HBM
+    # traffic; this loop IS the candidate build's cost at scale.)
     cands = []
     tns = []
+    prev = jnp.full((B,), -1, jnp.int32)  # every real key is >= 0
     for _ in range(maxc):
-        m = jnp.min(rem, axis=1)                                   # [B]
+        m = jnp.min(jnp.where(rem > prev[:, None], rem, DEAD), axis=1)
         alive = m < DEAD
         cands.append(jnp.where(alive, m & 0x7FF, -1))
         tns.append(
@@ -543,8 +549,10 @@ def candidate_clusters(scene: ClusterScene, ray_o, ray_d, t_lim, maxc: int):
                 BIG_T,
             )
         )
-        rem = jnp.where(rem == m[:, None], DEAD, rem)
-    overflow = jnp.any(jnp.min(rem, axis=1) < DEAD)
+        prev = m
+    overflow = jnp.any(
+        jnp.min(jnp.where(rem > prev[:, None], rem, DEAD), axis=1) < DEAD
+    )
     return jnp.stack(cands, axis=1), jnp.stack(tns, axis=1), overflow
 
 

@@ -261,20 +261,42 @@ def _run(scene: ClusterScene, ray_o, ray_d, t_lim, maxc, any_hit,
             scratch_shapes=[pltpu.VMEM((9, RB, T_CLUSTER), jnp.float32)],
             interpret=interpret,
         )(cand_k, ctn, rays[: g * RB], tris)
+
+        # reduction tail INSIDE the bucket (dense reductions only — no
+        # argmin on the hot path) so its cost scales with the live prefix
+        tlg = rg[:, 6]
+        tmin = jnp.min(at, axis=1)                        # [gRB]
+        hit = tmin < tlg
+        # per-ray EXACTNESS certificate (nearest-first entry-t): a ray
+        # with a full candidate list may have had farther clusters
+        # dropped, but any dropped hit satisfies t >= its entry-t >=
+        # ctn_last — so best <= ctn_last proves no dropped one could win
+        resolved = (cand[:, maxc - 1] < 0) | (tmin <= ctn[:, maxc - 1])
+        lanes = jax.lax.broadcasted_iota(jnp.int32, at.shape, 1)
+        sel = at <= tmin[:, None]
+        # consistent (lane, round) winner: lane-major packing
+        pk = jnp.min(jnp.where(sel, lanes * 64 + jnp.minimum(ar, 63),
+                               jnp.int32(1 << 30)), axis=1)
+        lane = pk // 64
+        rwin = pk % 64
+        cl = jnp.take_along_axis(
+            cand, jnp.minimum(rwin, maxc - 1)[:, None], axis=1
+        )[:, 0]
+        packed = jnp.where(hit, cl * T_CLUSTER + lane, -1)
+        t = jnp.where(hit, tmin, BIG_T)
+
         fill = nb * RB - g * RB
         if fill:
             # beyond the bucket: only dead rays (sort invariant) -> miss
-            at = jnp.concatenate(
-                [at, jnp.broadcast_to(rays[g * RB:, 6:7],
-                                      (fill, T_CLUSTER))], 0)
-            ar = jnp.concatenate(
-                [ar, jnp.full((fill, T_CLUSTER), -1, jnp.int32)], 0)
-            cand = jnp.concatenate(
-                [cand, jnp.full((fill, maxc), -1, jnp.int32)], 0)
-        return at, ar, cand, overflow
+            t = jnp.concatenate([t, jnp.full((fill,), BIG_T)], 0)
+            packed = jnp.concatenate(
+                [packed, jnp.full((fill,), -1, jnp.int32)], 0)
+            resolved = jnp.concatenate(
+                [resolved, jnp.ones((fill,), bool)], 0)
+        return t, packed, resolved, overflow
 
     if mask is None or perm is None:
-        at, ar, cand, overflow = run_bucket(nb)
+        t, packed, resolved, overflow = run_bucket(nb)
     else:
         if interpret:
             # interpret mode (CPU tests): 2 buckets keep the lax.switch
@@ -287,32 +309,15 @@ def _run(scene: ClusterScene, ray_o, ray_d, t_lim, maxc, any_hit,
         idx = jnp.zeros((), jnp.int32)
         for bkt in buckets[:-1]:
             idx = idx + (n_live > bkt * RB).astype(jnp.int32)
-        at, ar, cand, overflow = jax.lax.switch(
+        t, packed, resolved, overflow = jax.lax.switch(
             idx, [functools.partial(run_bucket, g) for g in buckets]
         )
 
-    # XLA reduction tail over the per-lane accumulators (dense reductions
-    # only — no argmin/take_along on the hot path)
-    at, ar = at[:B], ar[:B]
-    cand = cand[:B]
-    tmin = jnp.min(at, axis=1)                            # [B]
-    hit = tmin < t_lim
-    lanes = jax.lax.broadcasted_iota(jnp.int32, at.shape, 1)
-    sel = at <= tmin[:, None]
-    # consistent (lane, round) winner: lane-major packing
-    pk = jnp.min(jnp.where(sel, lanes * 64 + jnp.minimum(ar, 63),
-                           jnp.int32(1 << 30)), axis=1)
-    lane = pk // 64
-    rwin = pk % 64
-    cl = jnp.take_along_axis(
-        cand, jnp.minimum(rwin, maxc - 1)[:, None], axis=1
-    )[:, 0]
-    packed = jnp.where(hit, cl * T_CLUSTER + lane, -1)
-    t = jnp.where(hit, tmin, BIG_T)
+    t, packed, resolved = t[:B], packed[:B], resolved[:B]
     if perm is not None:
         inv = jnp.argsort(perm)
-        t, packed = t[inv], packed[inv]
-    return t, packed, overflow
+        t, packed, resolved = t[inv], packed[inv], resolved[inv]
+    return t, packed, resolved, overflow
 
 
 def closest_hit(scene: ClusterScene, ray_o, ray_d,
@@ -329,8 +334,8 @@ def closest_hit(scene: ClusterScene, ray_o, ray_d,
         )
     B = ray_o.shape[0]
     t_lim = jnp.full((B,), BIG_T, ray_o.dtype)
-    t, packed, overflow = _run(scene, ray_o, ray_d, t_lim, maxc,
-                               any_hit=False, mask=mask)
+    t, packed, _resolved, overflow = _run(scene, ray_o, ray_d, t_lim,
+                                          maxc, any_hit=False, mask=mask)
     hit = packed >= 0
     win = jnp.maximum(packed, 0)
     prim = scene.cl_tri_idx[win // T_CLUSTER, win % T_CLUSTER]
@@ -346,7 +351,7 @@ def any_hit(scene: ClusterScene, ray_o, ray_d, t_max,
     rays, reported unblocked at ~zero cost (see _run)."""
     if not fits_in_vmem(scene):
         raise ValueError("scene too large for the VMEM list tracer")
-    t, packed, overflow = _run(
+    t, packed, _resolved, overflow = _run(
         scene, ray_o, ray_d, t_max - SHADOW_EPS, maxc, any_hit=True,
         mask=mask,
     )
@@ -365,3 +370,58 @@ def intersect_list(scene: ClusterScene, tris, ray_o, ray_d,
     if of is not None:
         of.append(overflow)
     return finalize_hit(ray_o, ray_d, tris, prim)
+
+
+def multi_query(scene: ClusterScene, queries,
+                maxc: int = DEFAULT_MAXC):
+    """FUSED scene queries: one sort + candidate build + kernel launch for
+    several ray sets (e.g. a bounce's continuation closest-hit + its NEE
+    shadow rays).  Per-launch glue (ray sort, bucket switch, dispatch) is
+    paid once instead of per query, and mixing the sets improves block
+    coherence (shadow rays sort next to the continuations that spawned
+    them).
+
+    ``queries``: list of (ray_o [B,3], ray_d [B,3], t_lim [B] or None for
+    closest-hit, mask [B] or None).  Returns (results, overflow) where
+    results[i] = (t [B], packed [B]) — packed >= 0 means "a triangle lies
+    at t < t_lim", which answers BOTH closest-hit (t, prim) and occlusion
+    (blocked) exactly; an any-hit query just reads packed >= 0.  Shadow
+    t_lims should already include the reference's SHADOW_EPS slack.
+    """
+    if not fits_in_vmem(scene):
+        raise ValueError("scene too large for the VMEM list tracer")
+    os_, ds_, tls, masks = [], [], [], []
+    for (o, d, tl, m) in queries:
+        B = o.shape[0]
+        os_.append(o)
+        ds_.append(d)
+        tls.append(jnp.full((B,), BIG_T, o.dtype) if tl is None else tl)
+        masks.append(jnp.ones((B,), bool) if m is None else m)
+    # pure intersection oracle: gradients flow through finalize_hit
+    # recompute (packed_to_prim + ops.intersect.finalize_hit), never
+    # through the kernel itself
+    o = jax.lax.stop_gradient(jnp.concatenate(os_, 0))
+    d = jax.lax.stop_gradient(jnp.concatenate(ds_, 0))
+    tl = jax.lax.stop_gradient(jnp.concatenate(tls, 0))
+    mask = jnp.concatenate(masks, 0)
+    # NOTE: an adaptive two-pass (maxc=16 + certified-unresolved redo at
+    # 48) was tried and REVERTED: per-launch fixed cost (~8-10ms at 32k
+    # rays) dominates, so two launches lose to one deeper one (measured
+    # 1.80s vs 1.31s on the dragon frame).
+    t, packed, _resolved, overflow = _run(scene, o, d, tl, maxc,
+                                          any_hit=False, mask=mask)
+    results = []
+    lo = 0
+    for q in queries:
+        B = q[0].shape[0]
+        results.append((t[lo:lo + B], packed[lo:lo + B]))
+        lo += B
+    return results, overflow
+
+
+def packed_to_prim(scene: ClusterScene, t, packed):
+    """(t, packed) from multi_query -> (t, prim) closest-hit record."""
+    hit = packed >= 0
+    win = jnp.maximum(packed, 0)
+    prim = scene.cl_tri_idx[win // T_CLUSTER, win % T_CLUSTER]
+    return jnp.where(hit, t, BIG_T), jnp.where(hit, prim, -1)
