@@ -261,3 +261,24 @@ def test_remat_backward_matches_stored(cornell_scene, key):
     assert np.isfinite(g_remat) and g_remat > 0
     np.testing.assert_allclose(np.asarray(g_remat), np.asarray(g_store),
                                rtol=1e-5)
+
+
+def test_list_backend_agrees_with_env_map(cornell_scene, test_env_map, key):
+    """The fused per-bounce query path with an ENV MAP (3 query sets:
+    continuation + light shadow + env shadow) matches brute exactly."""
+    import numpy as np_
+
+    from sycl_ray_tracing_tpu.ops.cluster import build_clusters
+
+    tris = np_.asarray(cornell_scene.triangles)
+    nrays = CFG.width * CFG.height
+    scene = cornell_scene.with_env_map(test_env_map).with_clusters(
+        build_clusters(tris).with_budgets(nrays * 2, nrays * 2)
+    )
+    cam = cornell_box_camera()
+    imgs = {
+        b: np_.asarray(_render_mean_backend(scene, cam, key, b))
+        for b in ("brute", "list")
+    }
+    np_.testing.assert_allclose(imgs["list"], imgs["brute"], rtol=1e-4,
+                                atol=1e-5)
