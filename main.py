@@ -87,8 +87,6 @@ def main(argv=None) -> int:
         prints % per scanline band, render_kernel.cpp:205-209).  Each tile
         is one jit dispatch of the same compiled program; np.asarray
         forces device sync so the percentage is real progress."""
-        import dataclasses as _dc
-
         import jax.numpy as jnp
 
         W, H = config.width, config.height

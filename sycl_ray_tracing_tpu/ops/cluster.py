@@ -11,8 +11,9 @@ XLA maps straight onto the VPU and wide DMA:
   2. surviving (ray, supercluster) pairs test the 64 child cluster AABBs
      — one 2 KB contiguous row-gather per pair + dense [P1,64] math
   3. surviving (ray, cluster) pairs run Möller–Trumbore on the cluster's
-     64 triangles — one 2.3 KB row-gather per pair + dense [P2,64] math,
-     then a segment-min reduction back to per-ray closest hits
+     T_CLUSTER=128 triangles — one 4.6 KB row-gather per pair + dense
+     [P2,128] math, then a segment-min reduction back to per-ray closest
+     hits
 
 Pair expansion uses ``jnp.nonzero(size=...)`` (static budgets, masked
 overflow) and the reductions use sorted ``segment_min`` — no
@@ -21,9 +22,9 @@ fixed-shape DAG: no while_loop, no divergence, no lockstep straggler
 problem.
 
 Geometry is grouped by Morton order (or the C++ SAH builder's leaf order)
-into clusters of 64 triangles and superclusters of 64 clusters; capacity is
-64*64*64 = 262k triangles per two-level table, with a third level planned
-for multi-million-triangle scenes.
+into clusters of T_CLUSTER=128 triangles and superclusters of 64 clusters;
+the Pallas list tracer's VMEM/id limits cap it at 2048 clusters = 262k
+triangles, with a third level planned for multi-million-triangle scenes.
 
 The reference equivalent is the flattened BVH + iterative traversal
 (flattened_bvh.h:12-48); capability is the same (closest-hit + any-hit for
@@ -38,7 +39,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from sycl_ray_tracing_tpu.ops.intersect import BIG_T, Hit, _finalize_tri_hit
+from sycl_ray_tracing_tpu.ops.intersect import BIG_T, Hit
 from sycl_ray_tracing_tpu.ops.safe_math import EPS
 
 T_CLUSTER = 128      # triangles per cluster (measured sweet spot: gathers
