@@ -132,3 +132,49 @@ def test_golden_miss_rays(backend, cornell_scene, golden):
         f"{backend}: {(t < BIG_T).sum()} recorded miss rays reported a hit"
     )
     assert (prim < 0).all()
+
+
+def test_small_flat_bvh_fixture():
+    """The reference's only hand-built unit fixture (tests.cpp:60-101):
+    9 flat triangles stacked along -z; the axis ray from the origin must
+    hit the NEAREST one at exactly (0, 0, -2) — through every backend."""
+    import jax.numpy as jnp
+
+    from sycl_ray_tracing_tpu.ops import bvh as bvh_mod
+    from sycl_ray_tracing_tpu.ops import cluster as cl
+    from sycl_ray_tracing_tpu.ops.intersect import intersect_triangles
+    from sycl_ray_tracing_tpu.ops.pallas import listtrace as lt
+
+    tris = np.array(
+        [
+            [[0, 0, -2], [2, 0, -2], [1, 1, -2]],
+            [[0, 0, -3], [2, 0, -3], [1, 1, -3]],
+            [[0, 0, -4], [2, 0, -4], [1, 1, -4]],
+            [[0, 0, -5], [2, 0, -5], [1, 1, -5]],
+            [[0, 0, -6], [2, 0, -6], [1, 1, -6]],
+            [[-2, 0, -2], [0, 0, -2], [-1, 1, -2]],
+            [[2, 0, -3], [4, 0, -3], [3, 1, -3]],
+            [[0, -2, -4], [2, -2, -4], [1, -1, -4]],
+            [[0, -2, -5], [2, -2, -5], [1, -1, -5]],
+        ],
+        np.float32,
+    )
+    o = jnp.zeros((1, 3), jnp.float32)
+    d = jnp.asarray([[0.0, 0.0, -1.0]], jnp.float32)
+    expected = np.array([0.0, 0.0, -2.0])
+
+    hit = intersect_triangles(o, d, jnp.asarray(tris))
+    assert bool(hit.hit[0])
+    np.testing.assert_allclose(np.asarray(hit.point[0]), expected,
+                               atol=1e-5)
+
+    bvh = bvh_mod.build_bvh(tris)
+    t, prim = bvh_mod.closest_prim(bvh, o, d)
+    np.testing.assert_allclose(float(t[0]), 2.0, atol=1e-5)
+
+    cs = cl.build_clusters(tris)
+    t, prim, _of = cl.closest_hit(cs.with_budgets(64, 64), o, d)
+    np.testing.assert_allclose(float(t[0]), 2.0, atol=1e-5)
+
+    t, prim, _of = lt.closest_hit(cs, o, d)
+    np.testing.assert_allclose(float(t[0]), 2.0, atol=1e-5)
