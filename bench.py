@@ -55,7 +55,34 @@ def _timed(fn, n=3, retries=3):
     return out, min(times)
 
 
+def _tunnel_alive(timeout_s: int = 240) -> bool:
+    """Probe the TPU tunnel in a SUBPROCESS (a wedged tunnel hangs jax
+    ops uninterruptibly — only a process boundary can bound it)."""
+    import subprocess
+
+    code = ("import jax, numpy as np;"
+            "np.asarray(jax.numpy.ones((8,)) + 1);print('ok')")
+    try:
+        out = subprocess.run([sys.executable, "-c", code],
+                             capture_output=True, timeout=timeout_s)
+        return b"ok" in out.stdout
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main() -> int:
+    # fail fast (exit 3) if the TPU tunnel is wedged rather than hanging
+    # the driver; retry a few times first (transient drops recover in
+    # ~1-5 min)
+    for attempt in range(3):
+        if _tunnel_alive():
+            break
+        print(f"# tunnel probe {attempt} failed; retrying", file=sys.stderr)
+        time.sleep(60)
+    else:
+        print("# TPU tunnel unreachable; aborting bench", file=sys.stderr)
+        return 3
+
     import jax
 
     cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
