@@ -64,6 +64,25 @@ def _uniforms(key, bounce, tag, shape):
     return jax.random.uniform(k, shape, jnp.float32)
 
 
+def _resolve_backend(scene: Scene, backend: str) -> str:
+    """"auto" picks the best available structure; "list" degrades to the
+    XLA cluster tracer when the scene exceeds the VMEM list tracer's
+    limits (>2048 clusters = >262k triangles) instead of raising."""
+    if backend == "auto":
+        if scene.clusters is not None:
+            backend = "cluster"
+        elif scene.bvh is not None:
+            backend = "bvh"
+        else:
+            backend = "brute"
+    if backend == "list":
+        from sycl_ray_tracing_tpu.ops.pallas.listtrace import fits_in_vmem
+
+        if scene.clusters is None or not fits_in_vmem(scene.clusters):
+            backend = "cluster" if scene.clusters is not None else "brute"
+    return backend
+
+
 def intersect_scene(scene: Scene, ray_o, ray_d, backend: str = "auto",
                     of: list | None = None, mask=None) -> Hit:
     """Closest-hit dispatch (reference INTERSECT_SCENE,
@@ -77,13 +96,7 @@ def intersect_scene(scene: Scene, ray_o, ray_d, backend: str = "auto",
     ``mask``: optional [B] bool — False lanes are dead paths whose result
     is unused; backends that support pruning (list) return a miss for
     them at ~zero cost, others just ignore the hint."""
-    if backend == "auto":
-        if scene.clusters is not None:
-            backend = "cluster"
-        elif scene.bvh is not None:
-            backend = "bvh"
-        else:
-            backend = "brute"
+    backend = _resolve_backend(scene, backend)
     if backend == "pallas":
         from sycl_ray_tracing_tpu.ops.pallas.traverse import intersect_pallas
 
@@ -125,13 +138,7 @@ def occluded(scene: Scene, ray_o, ray_d, t_max=None, backend: str = "auto",
 
     if t_max is None:
         t_max = jnp.full(ray_o.shape[:1], _BIG, ray_o.dtype)
-    if backend == "auto":
-        if scene.clusters is not None:
-            backend = "cluster"
-        elif scene.bvh is not None:
-            backend = "bvh"
-        else:
-            backend = "brute"
+    backend = _resolve_backend(scene, backend)
     if backend == "pallas":
         from sycl_ray_tracing_tpu.ops.pallas.traverse import any_hit as pallas_any
 
@@ -531,6 +538,7 @@ def trace_shared(scene: Scene, ray_o, ray_d, key, bounces: int,
     tests/test_integrator.py).
     """
     B = ray_o.shape[0]
+    backend = _resolve_backend(scene, backend)
     num_lights = scene.num_lights
     has_env = scene.env_map is not None
     n_tris = scene.num_triangles
