@@ -24,6 +24,7 @@ import numpy as np
 def main(argv=None) -> int:
     argv = sys.argv[1:] if argv is None else argv
     import jax
+    import jax.numpy as jnp
 
     from sycl_ray_tracing_tpu.models import pathtracer
     from sycl_ray_tracing_tpu.models.camera import PRESETS
@@ -126,7 +127,36 @@ def main(argv=None) -> int:
                 {"overflow": jnp.asarray(overflow)})
 
     t0 = time.time()
-    hdr, aux = render(scene, camera, key)
+    if config.checkpoint:
+        # progressive render with checkpoint/resume (the reference cannot
+        # resume: its tone mapping destroys the linear accumulation,
+        # render_kernel.cpp:169-180; see models/progressive.py)
+        from sycl_ray_tracing_tpu.models.progressive import (
+            ProgressiveRenderer,
+        )
+
+        if os.path.exists(config.checkpoint):
+            pr = ProgressiveRenderer.resume(
+                scene, camera, config, config.checkpoint,
+                samples_per_batch=config.checkpoint_batch,
+            )
+            print(f"resuming at {pr.state.samples_done}/"
+                  f"{config.samples} samples")
+        else:
+            pr = ProgressiveRenderer(
+                scene, camera, config,
+                samples_per_batch=config.checkpoint_batch,
+            )
+        total = config.samples
+
+        def _tick(state):
+            print(f"{state.samples_done * 100.0 / total:0.6g}%",
+                  flush=True)
+
+        hdr = pr.run(checkpoint_path=config.checkpoint, on_batch=_tick)
+        aux = {"overflow": jnp.zeros((), bool)}
+    else:
+        hdr, aux = render(scene, camera, key)
     np.asarray(hdr)
     metrics.timers["render"] = time.time() - t0
     metrics.count("rays",

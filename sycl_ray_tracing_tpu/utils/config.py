@@ -46,6 +46,11 @@ class RenderConfig:
     # render_kernel.cpp:404, for bug-for-bug image parity testing)
     ggx_sampler: str = "fixed"
 
+    # progressive rendering: checkpoint path (resume if it exists; saved
+    # after every batch) and samples per batch.  None = single-shot.
+    checkpoint: Optional[str] = None
+    checkpoint_batch: int = 4
+
     def __post_init__(self):
         if self.intersect not in ("auto", "brute", "bvh", "cluster",
                                   "pallas", "list"):
@@ -87,6 +92,10 @@ def parse_cli(argv) -> tuple[RenderConfig, str, str]:
             kw["estimator"] = arg[len("--estimator="):]
         elif arg.startswith("--spp-pass="):
             kw["samples_per_pass"] = int(arg[len("--spp-pass="):])
+        elif arg.startswith("--checkpoint="):
+            kw["checkpoint"] = arg[len("--checkpoint="):]
+        elif arg.startswith("--checkpoint-batch="):
+            kw["checkpoint_batch"] = int(arg[len("--checkpoint-batch="):])
         else:
             obj_path = arg
     return RenderConfig(**kw), obj_path, sky_path

@@ -1,9 +1,12 @@
 """Aux subsystems: progressive/checkpoint rendering, denoiser, image utils,
 VNDF sampler, env-map bin splitting."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from sycl_ray_tracing_tpu.models.camera import cornell_box_camera
 from sycl_ray_tracing_tpu.models.progressive import (
@@ -172,3 +175,48 @@ def test_distributed_single_host():
     assert info["process_count"] == 1 and info["global_devices"] == 8
     mesh = global_mesh(sample_axis=2)
     assert mesh.shape["data"] == 4 and mesh.shape["sample"] == 2
+
+
+@pytest.mark.slow
+def test_cli_checkpoint_resume(tmp_path):
+    """main.py --checkpoint: interrupted render resumes to the identical
+    image an uninterrupted run produces (counter RNG replay)."""
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = repo
+    env["JAX_PLATFORMS"] = "cpu"
+    args = [sys.executable, "-u", os.path.join(repo, "main.py"),
+            "/root/reference/data/OBJs/cornell_pbr.obj",
+            "--w=16", "--h=16", "--samples=4", "--bounces=2",
+            "--camera=cornell", "--checkpoint-batch=2"]
+
+    def run(extra, cwd):
+        return subprocess.run(args + extra, env=env, cwd=cwd,
+                              capture_output=True, timeout=420)
+
+    d1 = tmp_path / "one"
+    d1.mkdir()
+    r = run([f"--checkpoint={tmp_path}/a.npz"], d1)
+    assert r.returncode == 0, r.stdout.decode()[-800:]
+
+    from sycl_ray_tracing_tpu.models.progressive import ProgressiveState
+
+    # "interrupted" run: render only the first half, then resume it
+    d2 = tmp_path / "two"
+    d2.mkdir()
+    r = run([f"--checkpoint={tmp_path}/b.npz", "--samples=2"], d2)
+    assert r.returncode == 0
+    b = ProgressiveState.load(f"{tmp_path}/b.npz")
+    assert b.samples_done == 2
+    # resume b to 4 samples
+    d3 = tmp_path / "three"
+    d3.mkdir()
+    r = run([f"--checkpoint={tmp_path}/b.npz"], d3)
+    assert r.returncode == 0, r.stdout.decode()[-800:]
+    b4 = ProgressiveState.load(f"{tmp_path}/b.npz")
+    a4 = ProgressiveState.load(f"{tmp_path}/a.npz")
+    assert b4.samples_done == a4.samples_done == 4
+    np.testing.assert_allclose(b4.hdr_sum, a4.hdr_sum, rtol=1e-6)
