@@ -126,16 +126,17 @@ def main(argv=None) -> int:
         return (out[:B].reshape(H, W, 3),
                 {"overflow": jnp.asarray(overflow)})
 
-    t0 = time.time()
-    if config.checkpoint:
-        # progressive render with checkpoint/resume (the reference cannot
-        # resume: its tone mapping destroys the linear accumulation,
-        # render_kernel.cpp:169-180; see models/progressive.py)
+    def render_checkpointed(scene, resume_ok=True):
+        """Progressive render with checkpoint/resume (the reference cannot
+        resume: its tone mapping destroys the linear accumulation,
+        render_kernel.cpp:169-180; see models/progressive.py).  Returns
+        (hdr, aux) like render(); aux carries the accumulated overflow
+        flag so main's budget auto-regrow covers this path too."""
         from sycl_ray_tracing_tpu.models.progressive import (
             ProgressiveRenderer,
         )
 
-        if os.path.exists(config.checkpoint):
+        if resume_ok and os.path.exists(config.checkpoint):
             pr = ProgressiveRenderer.resume(
                 scene, camera, config, config.checkpoint,
                 samples_per_batch=config.checkpoint_batch,
@@ -154,7 +155,11 @@ def main(argv=None) -> int:
                   flush=True)
 
         hdr = pr.run(checkpoint_path=config.checkpoint, on_batch=_tick)
-        aux = {"overflow": jnp.zeros((), bool)}
+        return hdr, {"overflow": jnp.asarray(pr.state.overflow)}
+
+    t0 = time.time()
+    if config.checkpoint:
+        hdr, aux = render_checkpointed(scene)
     else:
         hdr, aux = render(scene, camera, key)
     np.asarray(hdr)
@@ -180,7 +185,13 @@ def main(argv=None) -> int:
         scene = scene.with_clusters(
             cl.with_budgets(cl.p1_budget * 2, cl.p2_budget * 2)
         )
-        hdr, aux = render(scene, camera, key)
+        if config.checkpoint:
+            # overflowing batches are already baked into the checkpoint —
+            # the accumulation is suspect, so restart it from scratch
+            print("(discarding suspect checkpoint and restarting)")
+            hdr, aux = render_checkpointed(scene, resume_ok=False)
+        else:
+            hdr, aux = render(scene, camera, key)
         np.asarray(hdr)
     else:
         if scene.clusters is not None and bool(aux["overflow"]):

@@ -128,6 +128,20 @@ def intersect_scene(scene: Scene, ray_o, ray_d, backend: str = "auto",
     return hit
 
 
+def _merge_sphere_occlusion(scene: Scene, ray_o, ray_d, t_max, blocked):
+    """OR in sphere occlusion (brute-force, like the reference's sphere
+    loop in intersect_scene, render_kernel.cpp:485-502) with the same
+    1e-4 shadow slack the triangle paths use."""
+    if scene.num_spheres == 0:
+        return blocked
+    n = scene.num_triangles
+    sphere_prim = n + jnp.arange(scene.num_spheres, dtype=jnp.int32)
+    s_hit = intersect_spheres(
+        ray_o, ray_d, scene.sphere_centers, scene.sphere_radii, sphere_prim
+    )
+    return blocked | (s_hit.hit & (s_hit.t + 1e-4 < t_max))
+
+
 def occluded(scene: Scene, ray_o, ray_d, t_max=None, backend: str = "auto",
              of: list | None = None, mask=None):
     """Shadow-ray test with the reference's t_max - 1e-4 slack
@@ -139,98 +153,39 @@ def occluded(scene: Scene, ray_o, ray_d, t_max=None, backend: str = "auto",
     if t_max is None:
         t_max = jnp.full(ray_o.shape[:1], _BIG, ray_o.dtype)
     backend = _resolve_backend(scene, backend)
+    o_ng = jax.lax.stop_gradient(ray_o)
+    d_ng = jax.lax.stop_gradient(ray_d)
+    t_ng = jax.lax.stop_gradient(t_max)
     if backend == "pallas":
         from sycl_ray_tracing_tpu.ops.pallas.traverse import any_hit as pallas_any
 
-        blocked = pallas_any(
-            scene.clusters,
-            jax.lax.stop_gradient(ray_o),
-            jax.lax.stop_gradient(ray_d),
-            jax.lax.stop_gradient(t_max),
-        )
-        if scene.num_spheres > 0:
-            n = scene.num_triangles
-            sphere_prim = n + jnp.arange(scene.num_spheres, dtype=jnp.int32)
-            s_hit = intersect_spheres(
-                ray_o, ray_d, scene.sphere_centers, scene.sphere_radii,
-                sphere_prim,
-            )
-            blocked = blocked | (s_hit.hit & (s_hit.t + 1e-4 < t_max))
-        return blocked
-    if backend == "list":
+        blocked = pallas_any(scene.clusters, o_ng, d_ng, t_ng)
+    elif backend == "list":
         from sycl_ray_tracing_tpu.ops.pallas.listtrace import (
             any_hit as list_any,
         )
 
-        blocked, overflow = list_any(
-            scene.clusters,
-            jax.lax.stop_gradient(ray_o),
-            jax.lax.stop_gradient(ray_d),
-            jax.lax.stop_gradient(t_max),
-            mask=mask,
-        )
+        blocked, overflow = list_any(scene.clusters, o_ng, d_ng, t_ng,
+                                     mask=mask)
         if of is not None:
             of.append(overflow)
-        if scene.num_spheres > 0:
-            n = scene.num_triangles
-            sphere_prim = n + jnp.arange(scene.num_spheres, dtype=jnp.int32)
-            s_hit = intersect_spheres(
-                ray_o, ray_d, scene.sphere_centers, scene.sphere_radii,
-                sphere_prim,
-            )
-            blocked = blocked | (s_hit.hit & (s_hit.t + 1e-4 < t_max))
-        return blocked
-    if backend == "cluster":
+    elif backend == "cluster":
         from sycl_ray_tracing_tpu.ops.cluster import any_hit as cluster_any
 
-        blocked, overflow = cluster_any(
-            scene.clusters,
-            jax.lax.stop_gradient(ray_o),
-            jax.lax.stop_gradient(ray_d),
-            jax.lax.stop_gradient(t_max),
-        )
+        blocked, overflow = cluster_any(scene.clusters, o_ng, d_ng, t_ng)
         if of is not None:
             of.append(overflow)
-        if scene.num_spheres > 0:
-            n = scene.num_triangles
-            sphere_prim = n + jnp.arange(scene.num_spheres, dtype=jnp.int32)
-            s_hit = intersect_spheres(
-                ray_o, ray_d, scene.sphere_centers, scene.sphere_radii,
-                sphere_prim,
-            )
-            blocked = blocked | (s_hit.hit & (s_hit.t + 1e-4 < t_max))
-        return blocked
-    if backend == "bvh":
+    elif backend == "bvh":
         from sycl_ray_tracing_tpu.ops.bvh import any_hit
 
-        blocked = any_hit(
-            scene.bvh,
-            jax.lax.stop_gradient(ray_o),
-            jax.lax.stop_gradient(ray_d),
-            jax.lax.stop_gradient(t_max),
-        )
-        if scene.num_spheres > 0:
-            n = scene.num_triangles
-            sphere_prim = n + jnp.arange(scene.num_spheres, dtype=jnp.int32)
-            s_hit = intersect_spheres(
-                ray_o, ray_d, scene.sphere_centers, scene.sphere_radii,
-                sphere_prim,
-            )
-            blocked = blocked | (s_hit.hit & (s_hit.t + 1e-4 < t_max))
-        return blocked
-    # brute backend: dense any-hit (no argmin / hit-record finalize)
-    from sycl_ray_tracing_tpu.ops.intersect import any_hit_triangles
+        blocked = any_hit(scene.bvh, o_ng, d_ng, t_ng)
+    else:
+        # brute backend: dense any-hit (no argmin / hit-record finalize)
+        from sycl_ray_tracing_tpu.ops.intersect import any_hit_triangles
 
-    blocked = any_hit_triangles(ray_o, ray_d, scene.triangles, t_max - 1e-4)
-    if scene.num_spheres > 0:
-        n = scene.num_triangles
-        sphere_prim = n + jnp.arange(scene.num_spheres, dtype=jnp.int32)
-        s_hit = intersect_spheres(
-            ray_o, ray_d, scene.sphere_centers, scene.sphere_radii,
-            sphere_prim,
-        )
-        blocked = blocked | (s_hit.hit & (s_hit.t + 1e-4 < t_max))
-    return blocked
+        blocked = any_hit_triangles(ray_o, ray_d, scene.triangles,
+                                    t_max - 1e-4)
+    return _merge_sphere_occlusion(scene, ray_o, ray_d, t_max, blocked)
 
 
 def _material_of_prim(scene: Scene, prim):

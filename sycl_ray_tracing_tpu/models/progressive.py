@@ -33,6 +33,10 @@ class ProgressiveState:
     hdr_sum: np.ndarray     # [H,W,3] linear radiance SUM (not average)
     samples_done: int
     seed: int
+    # True if ANY accumulated batch saw a cluster pair-budget overflow —
+    # those batches may be missing hits, so the whole accumulation is
+    # suspect (main.py restarts with doubled budgets)
+    overflow: bool = False
 
     @property
     def image(self) -> np.ndarray:
@@ -43,6 +47,7 @@ class ProgressiveState:
         np.savez(
             path, hdr_sum=self.hdr_sum,
             samples_done=np.int64(self.samples_done), seed=np.int64(self.seed),
+            overflow=np.bool_(self.overflow),
         )
 
     @staticmethod
@@ -52,6 +57,7 @@ class ProgressiveState:
             hdr_sum=z["hdr_sum"],
             samples_done=int(z["samples_done"]),
             seed=int(z["seed"]),
+            overflow=bool(z["overflow"]) if "overflow" in z else False,
         )
 
 
@@ -74,7 +80,8 @@ class ProgressiveRenderer:
         self.samples_per_batch = samples_per_batch
         batch_cfg = dataclasses.replace(config, samples=samples_per_batch)
         self._render_batch = jax.jit(
-            lambda s, c, k: pathtracer.render(s, c, batch_cfg, k)
+            lambda s, c, k: pathtracer.render(s, c, batch_cfg, k,
+                                              with_aux=True)
         )
         self.state = state or ProgressiveState(
             hdr_sum=np.zeros((config.height, config.width, 3), np.float32),
@@ -93,11 +100,12 @@ class ProgressiveRenderer:
         key = jax.random.fold_in(
             jax.random.PRNGKey(self.state.seed), self.state.samples_done
         )
-        batch = self._render_batch(self.scene, self.camera, key)
+        batch, aux = self._render_batch(self.scene, self.camera, key)
         self.state.hdr_sum = self.state.hdr_sum + (
             np.asarray(batch) * self.samples_per_batch
         )
         self.state.samples_done += self.samples_per_batch
+        self.state.overflow = self.state.overflow or bool(aux["overflow"])
         return self.state
 
     def run(self, checkpoint_path: Optional[str] = None,

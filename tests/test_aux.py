@@ -57,12 +57,32 @@ def test_progressive_state_roundtrip(tmp_path):
         ),
         samples_done=6,
         seed=3,
+        overflow=True,
     )
     p = str(tmp_path / "s.npz")
     st.save(p)
     back = ProgressiveState.load(p)
     np.testing.assert_array_equal(back.hdr_sum, st.hdr_sum)
     assert back.samples_done == 6 and back.seed == 3
+    assert back.overflow is True
+
+
+def test_progressive_threads_overflow(cornell_scene):
+    """A cluster-backend progressive render with starved pair budgets must
+    surface the overflow flag in its state instead of silently accumulating
+    an image with dropped hits (VERDICT r2 weak #5)."""
+    from sycl_ray_tracing_tpu.ops.cluster import build_clusters
+
+    scene = cornell_scene.with_clusters(
+        build_clusters(np.asarray(cornell_scene.triangles),
+                       p1_budget=2, p2_budget=2)
+    )
+    cfg = RenderConfig(width=8, height=8, samples=2, bounces=2,
+                       tile_rays=None, intersect="cluster")
+    r = ProgressiveRenderer(scene, cornell_box_camera(), cfg, seed=0,
+                            samples_per_batch=2)
+    r.step()
+    assert r.state.overflow is True
 
 
 def test_denoise_reduces_noise_keeps_edges():
