@@ -35,6 +35,7 @@ int main(int argc, char** argv) {
     std::string out_path = "ref_image.f32";
     int width = 128, height = 128, samples = 64, bounces = 8;
     float skyval = 0.5f;
+    std::string sky_path;
 
     for (int i = 1; i < argc; i++) {
         std::string a = argv[i];
@@ -45,6 +46,7 @@ int main(int argc, char** argv) {
         else if (a.rfind("--camera=", 0) == 0) camera_name = a.substr(9);
         else if (a.rfind("--out=", 0) == 0) out_path = a.substr(6);
         else if (a.rfind("--skyval=", 0) == 0) skyval = std::atof(a.c_str() + 9);
+        else if (a.rfind("--sky=", 0) == 0) sky_path = a.substr(6);
         else obj_path = a;
     }
 
@@ -52,9 +54,17 @@ int main(int argc, char** argv) {
     std::vector<Sphere> spheres;
     BVH bvh(&parsed_obj.triangles);
 
-    // constant sky (an all-black sky NaNs the reference's env CDF
-    // sampling: compute_env_map_cdf total luminance == 0)
+    // --sky=<file.hdr>: load a REAL env map through the reference's own
+    // reader (main.cpp:86-89) so the env-CDF importance sampling path
+    // (utils.cpp:126-142, render_kernel.cpp:532-567) is pinned against a
+    // non-constant image.  Default: constant sky (an all-black sky NaNs
+    // the reference's env CDF sampling: compute_env_map_cdf total
+    // luminance == 0).
     Image skysphere(8, 16, Color(skyval, skyval, skyval));
+    if (!sky_path.empty()) {
+        int sky_w, sky_h;
+        skysphere = Utils::read_image_float(sky_path, sky_w, sky_h);
+    }
     std::vector<float> env_map_cdf = Utils::compute_env_map_cdf(skysphere);
 
     Image image_buffer(width, height);

@@ -280,7 +280,9 @@ def closest_prim(bvh: ThreadedBVH, ray_o, ray_d):
     best_prim = jnp.where(
         best_slot >= 0, bvh.tri_order[jnp.maximum(best_slot, 0)], -1
     )
-    return best_t, best_prim
+    from sycl_ray_tracing_tpu.ops.intersect import name_traversal
+
+    return name_traversal(best_t, best_prim)
 
 
 def any_hit(bvh: ThreadedBVH, ray_o, ray_d, t_max):
@@ -324,7 +326,9 @@ def any_hit(bvh: ThreadedBVH, ray_o, ray_d, t_max):
     node0 = jnp.zeros((B,), jnp.int32)
     f0 = jnp.zeros((B,), bool)
     _, found = jax.lax.while_loop(cond, body, (node0, f0))
-    return found
+    from sycl_ray_tracing_tpu.ops.intersect import name_traversal
+
+    return name_traversal(found)
 
 
 def intersect_bvh(bvh: ThreadedBVH, tris, ray_o, ray_d) -> Hit:

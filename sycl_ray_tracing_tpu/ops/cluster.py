@@ -502,28 +502,22 @@ def _reduce_closest(scene: ClusterScene, B, r2, pair_t, pair_cl, valid2):
     return best_t, best_prim
 
 
-def candidate_clusters(scene: ClusterScene, ray_o, ray_d, t_lim, maxc: int):
-    """Per-ray nearest-first candidate cluster lists (fixed ``maxc`` slots).
+def _extract_candidates(hit, tnear, maxc: int, k2: int):
+    """Nearest-first candidate extraction from a dense hit mask.
 
-    Returns (cand [B,maxc] i32 cluster ids, -1 for empty slots;
-    ctn [B,maxc] f32 entry-t per slot (BIG_T on empty); overflow scalar —
-    True if any ray hit more than ``maxc`` cluster boxes).
+    (hit [R,K2] bool, tnear [R,K2] f32) -> (cand [R,maxc] i32 cluster ids,
+    -1 empty; ctn [R,maxc] f32 entry-t, BIG_T empty; overflow scalar).
 
-    This replaces the budgeted pair-expansion pipeline for the Pallas list
-    tracer: a dense [B,K2] slab test, then ``maxc`` min-reduction rounds
-    over a packed (quantized-tnear | cluster-id) key.  Positive-float bits
-    are order-preserving as int32, so dropping the low 11 mantissa bits
-    makes room for the cluster id and min() selects (nearest, its id) in
-    ONE reduction per round — no argmin/take_along, no compaction sorts,
-    no scatter.  Requires num_clusters <= 2048 (11-bit ids).
+    ``maxc`` min-reduction rounds over a packed (quantized-tnear |
+    cluster-id) key.  Positive-float bits are order-preserving as int32,
+    so dropping the low 11 mantissa bits makes room for the cluster id and
+    min() selects (nearest, its id) in ONE reduction per round — no
+    argmin/take_along, no compaction sorts, no scatter.  Requires
+    k2 <= 2048 (11-bit ids).
     """
-    B = ray_o.shape[0]
-    k2 = scene.num_clusters
-    assert k2 <= 2048, "candidate_clusters: cluster-id field is 11 bits"
-    inv_d = _inv_dir(ray_d)
-    hit, tnear = _dense_cluster_mask(scene, ray_o, inv_d, t_lim)   # [B,K2]
+    R = hit.shape[0]
+    assert k2 <= 2048, "_extract_candidates: cluster-id field is 11 bits"
     tn = jnp.maximum(tnear, 0.0)
-    # positive-float-bits ordering; 11 low mantissa bits -> cluster id
     tbits = jax.lax.bitcast_convert_type(tn, jnp.int32)
     ids = jax.lax.broadcasted_iota(jnp.int32, hit.shape, 1)
     key = (tbits & ~jnp.int32(0x7FF)) | ids
@@ -531,13 +525,13 @@ def candidate_clusters(scene: ClusterScene, ray_o, ray_d, t_lim, maxc: int):
     rem = jnp.where(hit, key, DEAD)
 
     # THRESHOLD-MIN extraction: the unique id bits make keys strictly
-    # increasing per ray, so round j is "min of keys above round j-1's
-    # key" — ONE read pass over [B,K2] per round with NO update writes.
+    # increasing per row, so round j is "min of keys above round j-1's
+    # key" — ONE read pass over [R,K2] per round with NO update writes.
     # (The previous form re-read AND rewrote rem every round — 3x the HBM
     # traffic; this loop IS the candidate build's cost at scale.)
     cands = []
     tns = []
-    prev = jnp.full((B,), -1, jnp.int32)  # every real key is >= 0
+    prev = jnp.full((R,), -1, jnp.int32)  # every real key is >= 0
     for _ in range(maxc):
         m = jnp.min(jnp.where(rem > prev[:, None], rem, DEAD), axis=1)
         alive = m < DEAD
@@ -557,6 +551,51 @@ def candidate_clusters(scene: ClusterScene, ray_o, ray_d, t_lim, maxc: int):
     return jnp.stack(cands, axis=1), jnp.stack(tns, axis=1), overflow
 
 
+def candidate_clusters(scene: ClusterScene, ray_o, ray_d, t_lim, maxc: int):
+    """Per-ray nearest-first candidate cluster lists (fixed ``maxc`` slots).
+
+    Returns (cand [B,maxc] i32 cluster ids, -1 for empty slots;
+    ctn [B,maxc] f32 entry-t per slot (BIG_T on empty); overflow scalar —
+    True if any ray hit more than ``maxc`` cluster boxes).
+
+    This replaces the budgeted pair-expansion pipeline for the Pallas list
+    tracer: a dense [B,K2] slab test + threshold-min extraction
+    (_extract_candidates).
+    """
+    inv_d = _inv_dir(ray_d)
+    hit, tnear = _dense_cluster_mask(scene, ray_o, inv_d, t_lim)   # [B,K2]
+    return _extract_candidates(hit, tnear, maxc, scene.num_clusters)
+
+
+def candidate_clusters_grouped(scene: ClusterScene, ray_o, ray_d, t_lim,
+                               maxc: int, group: int):
+    """Per-GROUP (block of ``group`` consecutive rays) candidate lists: the
+    union of the block's per-ray cluster hits, nearest-first by the BLOCK
+    entry-t (min over the block's rays).  B must divide by ``group``.
+
+    Returns (cand [B/group, maxc], ctn [B/group, maxc], overflow).
+
+    This is the candidate build for the block-shared list kernel: one list
+    serves all ``group`` rays, so the kernel loads each candidate tile ONCE
+    per block (vs once per ray) and the extraction runs on B/group rows.
+    Correctness of per-ray exactness certificates is preserved because the
+    block entry-t lower-bounds every member ray's entry-t: a cluster
+    dropped beyond slot maxc has block-entry >= ctn[:, -1], so any hit in
+    it satisfies t >= ray-entry >= block-entry >= ctn[:, -1]."""
+    B = ray_o.shape[0]
+    assert B % group == 0
+    inv_d = _inv_dir(ray_d)
+    hit, tnear = _dense_cluster_mask(scene, ray_o, inv_d, t_lim)   # [B,K2]
+    k2 = scene.num_clusters
+    hit_g = hit.reshape(B // group, group, k2).any(axis=1)
+    tn_g = jnp.min(
+        jnp.where(hit, jnp.maximum(tnear, 0.0), BIG_T)
+        .reshape(B // group, group, k2),
+        axis=1,
+    )
+    return _extract_candidates(hit_g, tn_g, maxc, k2)
+
+
 def closest_hit(scene: ClusterScene, ray_o, ray_d):
     """Closest-hit for rays [B,3] -> (t [B], prim [B] (-1 miss), overflow).
 
@@ -572,7 +611,9 @@ def closest_hit(scene: ClusterScene, ray_o, ray_d):
     pair_cl = c2 * T_CLUSTER + lane                           # packed winner
 
     best_t, best_prim = _reduce_closest(scene, B, r2, pair_t, pair_cl, valid2)
-    return best_t, best_prim, overflow
+    from sycl_ray_tracing_tpu.ops.intersect import name_traversal
+
+    return name_traversal(best_t, best_prim, overflow)
 
 
 def any_hit(scene: ClusterScene, ray_o, ray_d, t_max):
@@ -589,7 +630,9 @@ def any_hit(scene: ClusterScene, ray_o, ray_d, t_max):
         pair_hit.astype(jnp.int32), r2, num_segments=B + 1,
         indices_are_sorted=True,
     )[:B]
-    return hits > 0, overflow
+    from sycl_ray_tracing_tpu.ops.intersect import name_traversal
+
+    return name_traversal(hits > 0, overflow)
 
 
 def intersect_clusters(scene: ClusterScene, tris, ray_o, ray_d,

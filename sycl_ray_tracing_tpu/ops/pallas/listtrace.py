@@ -1,5 +1,5 @@
-"""Pallas TPU list tracer: per-ray exact traversal over precomputed
-nearest-first candidate-cluster lists.
+"""Pallas TPU list tracer: exact traversal over precomputed nearest-first
+candidate-cluster lists, in two kernel shapes (per-ray and block-shared).
 
 Why this shape: block-level culling (ops/pallas/traverse.py) is ideal for
 coherent primaries but dilutes badly on incoherent bounce/shadow rays —
@@ -9,17 +9,28 @@ nothing.  The XLA wavefront tracer (ops/cluster.py) does exact per-pair
 work but pays ~112ns/pair of materialization glue (pair compaction,
 per-pair HBM row-gathers, segment reductions) around ~6ns/pair of actual
 intersection math.  This kernel keeps the exact-work property and deletes
-the glue:
+the glue.
 
-  * XLA side (ops/cluster.py:candidate_clusters): ONE dense [B,K2] slab
-    pass + ``maxc`` packed-key min-rounds produce, per ray, its hit
-    clusters in entry-t order — fixed [B,maxc] arrays, no compaction, no
-    sorts, no pair budgets.
-  * Kernel: 8 rays per block (one vreg sublane group).  Round r loads
-    each ray's r-th candidate triangle tile from the VMEM-resident scene
-    (leading-dim dynamic index, 4.6 KB each), stacks them per-coordinate,
-    and runs ONE (8,128) Moller-Trumbore tile — every sublane intersects
-    its OWN cluster: zero cross-ray dilution.
+Two candidate/kernel shapes, selected by ``share``:
+
+  * PER-RAY (share=False, the round-2 design): 8 rays per block (one vreg
+    sublane group).  Round r loads each ray's r-th candidate triangle tile
+    from the VMEM-resident scene (leading-dim dynamic index, 4.6 KB each),
+    stacks them per-coordinate, and runs ONE (8,128) Moller-Trumbore tile —
+    every sublane intersects its OWN cluster: zero cross-ray dilution.
+  * BLOCK-SHARED (share=True, round 3): one candidate list per block of
+    RB_SHARE spatially-sorted rays — the UNION of the block's cluster
+    hits, nearest-first by block entry-t (ops/cluster.py
+    candidate_clusters_grouped).  Round r loads the block's r-th candidate
+    tile ONCE and intersects ALL RB_SHARE rays against it in one
+    (RB_SHARE,128) MT tile.  This is the cluster-major amortization the
+    per-ray kernel cannot do: the dominant per-round cost (the dynamic
+    tile copy) is paid once per BLOCK instead of once per RAY, and the
+    candidate extraction (a [rows,K2] threshold-min sweep whose HBM
+    traffic dominated at 32k rays) runs on 1/RB_SHARE as many rows.
+    The price is union dilution: rays also test block-mates' clusters
+    (harmless extra lanes in an already-launched MT round).  Spatial
+    sorting keeps unions tight.
 
 Hard-won performance shape (measured on this chip, scratch/micro_copy.py
 and scratch/phase_bench.py):
@@ -35,6 +46,9 @@ and scratch/phase_bench.py):
   * Early termination is ONE guard after the first ``GROUP`` rounds
     (candidate entry-t is monotone per ray, so skipped work is provably
     useless); finer-grained guards cost more than the rounds they save.
+    Any-hit rays carry a flag lane (rays[:,7]) so a blocked shadow ray
+    stops asking for tail rounds (reference shadow rays are cheap by
+    design, render_kernel.cpp:744-759).
   * Dead paths (mask=False) get t_lim=-BIG -> empty candidate lists, and
     the ray sort pushes them into trailing all-dead blocks that exit at
     the guard.
@@ -58,13 +72,20 @@ from sycl_ray_tracing_tpu.ops.cluster import (
     T_CLUSTER,
     ClusterScene,
     candidate_clusters,
+    candidate_clusters_grouped,
 )
-from sycl_ray_tracing_tpu.ops.intersect import BIG_T, Hit
+from sycl_ray_tracing_tpu.ops.intersect import BIG_T, Hit, name_traversal
 from sycl_ray_tracing_tpu.ops.safe_math import EPS
 
-RB = 8            # rays per block = one sublane group
-DEFAULT_MAXC = 32  # candidate slots per ray (overflow flagged beyond)
+RB = 8             # per-ray kernel: rays per block = one sublane group
+RB_SHARE = 32      # block-shared kernel: rays sharing one candidate list
+DEFAULT_MAXC = 32  # per-ray candidate slots (overflow flagged beyond)
+DEFAULT_MAXC_SHARE = 48  # block-union slots (unions are longer than lists)
 GROUP = 8          # unguarded leading rounds (see module docstring)
+
+# Module default for the ``share`` mode of closest_hit/any_hit/multi_query
+# (callers may override per call).  Flipped by measurement on TPU.
+LIST_SHARE_DEFAULT = False
 
 # VMEM cap for the resident triangle table; larger scenes fall back to the
 # XLA cluster tracer (a third hierarchy level is the planned fix).
@@ -110,14 +131,31 @@ def _mt8(ax, ay, az, bx, by, bz, cx, cy, cz, ox, oy, oz, dx, dy, dz, tl):
     return jnp.where(ok, t, BIG_T)
 
 
+def _tail_guard(at_ref, rays, ctn_tail, maxc, round_fn):
+    """Single early-exit guard after the first GROUP rounds (shared by both
+    kernels).  Entry-t is monotone per list, so if no ray's remaining
+    candidates can beat its current best (min over lanes) the tail is
+    provably useless.  A ray with the any-hit flag (rays[:,7] > 0) that is
+    already blocked (best < its t_lim) needs nothing more either."""
+    bt = jnp.min(at_ref[:], axis=1, keepdims=True)       # (RB,1)
+    useful = ctn_tail < bt
+    ah_done = (rays[:, 7:8] > 0.0) & (bt < rays[:, 6:7])
+    useful = useful & (~ah_done)
+
+    @pl.when(jnp.any(useful))
+    def _tail():
+        for r in range(GROUP, maxc):
+            round_fn(r)
+
+
 def _list_kernel_impl(cand_s, ctn_ref, rays_ref, tris_ref,
-                      at_ref, ar_ref, stk_ref, *, maxc, any_hit):
-    """One 8-ray block over its candidate lists.
+                      at_ref, ar_ref, stk_ref, *, maxc):
+    """One 8-ray block over its PER-RAY candidate lists.
 
     cand_s:  (RB, maxc) i32 SMEM  candidate cluster per (ray, round);
                                   empty slots carry the DUMMY id K2
     ctn_ref: (RB, maxc) f32 VMEM  candidate entry-t (BIG_T empty)
-    rays_ref:(RB, 8)    f32 VMEM  o3 d3 t_lim pad
+    rays_ref:(RB, 8)    f32 VMEM  o3 d3 t_lim anyhit_flag
     tris_ref:(K2+1,9,T) f32 VMEM  resident triangle tiles + dummy row K2
     at_ref:  (RB, T)    f32 OUT   per-(ray,lane) min t across rounds
     ar_ref:  (RB, T)    i32 OUT   round that produced at_ref's value
@@ -145,26 +183,55 @@ def _list_kernel_impl(cand_s, ctn_ref, rays_ref, tris_ref,
         _round(r)
 
     if maxc > GROUP:
-        # single early-exit guard: entry-t is monotone per ray, so if no
-        # ray's remaining candidates can beat its current best (min over
-        # lanes), the tail is provably useless.  For any-hit, an already
-        # blocked ray (best < t_lim) needs nothing more either.
-        bt = jnp.min(at_ref[:], axis=1, keepdims=True)   # (RB,1)
-        useful = ctn_ref[:, GROUP:maxc] < bt
-        if any_hit:
-            useful = useful & (bt >= rays[:, 6:7])
+        _tail_guard(at_ref, rays, ctn_ref[:, GROUP:maxc], maxc, _round)
 
-        @pl.when(jnp.any(useful))
-        def _tail():
-            for r in range(GROUP, maxc):
-                _round(r)
+
+def _block_kernel_impl(cand_s, ctn_ref, rays_ref, tris_ref,
+                       at_ref, ar_ref, *, maxc, rb):
+    """One ``rb``-ray block over its SHARED candidate list.
+
+    cand_s:  (1, maxc)  i32 SMEM  block candidate clusters (DUMMY=K2 empty)
+    ctn_ref: (1, maxc)  f32 VMEM  block entry-t (BIG_T empty)
+    rays_ref:(rb, 8)    f32 VMEM  o3 d3 t_lim anyhit_flag
+    tris_ref:(K2+1,9,T) f32 VMEM  resident triangle tiles + dummy row K2
+    at_ref:  (rb, T)    f32 OUT   per-(ray,lane) min t across rounds
+    ar_ref:  (rb, T)    i32 OUT   round that produced at_ref's value
+
+    The round body loads the shared tile ONCE (one dynamic leading-dim
+    index) and row-broadcasts each coordinate plane to (rb, T) — a sublane
+    replicate, not a lane relayout — so the per-round cost is ~one tile
+    copy + one (rb,T) MT regardless of rb.
+    """
+    shape = (rb, T_CLUSTER)
+    rays = rays_ref[:]
+    bc = lambda c: jnp.broadcast_to(rays[:, c:c + 1], shape)  # noqa: E731
+    ox, oy, oz, dx, dy, dz, tl = (bc(c) for c in range(7))
+    at_ref[:] = tl
+    ar_ref[:] = jnp.full(shape, -1, jnp.int32)
+
+    def _round(r):
+        tile = tris_ref[cand_s[0, r]]                    # (9, T)
+        planes = [
+            jnp.broadcast_to(tile[c:c + 1, :], shape) for c in range(9)
+        ]
+        t = _mt8(*planes, ox, oy, oz, dx, dy, dz, tl)
+        upd = t < at_ref[:]
+        at_ref[:] = jnp.where(upd, t, at_ref[:])
+        ar_ref[:] = jnp.where(upd, jnp.int32(r), ar_ref[:])
+
+    for r in range(min(GROUP, maxc)):
+        _round(r)
+
+    if maxc > GROUP:
+        _tail_guard(at_ref, rays, ctn_ref[0:1, GROUP:maxc], maxc, _round)
 
 
 def _ray_sort_key(scene: ClusterScene, ray_o, ray_d):
     """Spatial sort key: 18-bit Morton of the origin cell (6 bits/axis over
     the scene bounds) + 3-bit direction octant.  Sorted rays give the
-    kernel homogeneous 8-ray blocks, so the tail guard actually fires
-    (unsorted blocks almost always contain one straggler)."""
+    kernel homogeneous blocks, so the tail guard actually fires (unsorted
+    blocks almost always contain one straggler) and block-shared candidate
+    unions stay tight."""
     lo = jnp.min(scene.sc_box[:, 0:3], axis=0)
     hi = jnp.max(scene.sc_box[:, 3:6], axis=0)
     q = jnp.clip((ray_o - lo) / jnp.maximum(hi - lo, 1e-6), 0.0, 1.0)
@@ -182,9 +249,14 @@ def _ray_sort_key(scene: ClusterScene, ray_o, ray_d):
 
 
 def _run(scene: ClusterScene, ray_o, ray_d, t_lim, maxc, any_hit,
-         sort=True, mask=None):
+         sort=True, mask=None, share=False):
     """Candidate lists (XLA) + list kernel + XLA reduction tail.
-    Returns (t [B], packed winner cluster*T+lane [B] (-1 miss), overflow).
+    Returns (t [B], packed winner cluster*T+lane [B] (-1 miss), resolved,
+    overflow).
+
+    ``any_hit``: scalar bool or [B] bool — rays flagged any-hit only need
+    "does anything lie below t_lim"; the kernel's tail guard retires them
+    as soon as they are blocked (per-ray flag lane, see _tail_guard).
 
     ``mask``: optional [B] bool — rays with mask=False are DEAD (their
     result is a guaranteed miss): they get t_lim=-BIG so the candidate
@@ -196,25 +268,34 @@ def _run(scene: ClusterScene, ray_o, ray_d, t_lim, maxc, any_hit,
     sweep cost scale with the live fraction (a fixed-grid kernel has a
     ~30ms floor at 32k rays no matter how many lanes are dead; measured
     in scratch/mask_bench.py).
+
+    ``share``: block-shared candidate lists + kernel (see module
+    docstring) — one list per RB_SHARE sorted rays, each tile loaded once
+    per block.
     """
     assert maxc <= 64, "winner packing uses 6 round bits"
     B = ray_o.shape[0]
-    nb = -(-B // RB)
-    pad = nb * RB - B
+    rb = RB_SHARE if share else RB
+    nb = -(-B // rb)
+    pad = nb * rb - B
     k2 = scene.num_clusters
     if mask is not None:
         t_lim = jnp.where(mask, t_lim, -BIG_T)
+    if isinstance(any_hit, bool):
+        ah = jnp.full((B,), 1.0 if any_hit else 0.0, jnp.float32)
+    else:
+        ah = any_hit.astype(jnp.float32)
     perm = None
-    if sort and B >= 4 * RB:
+    if sort and B >= 4 * rb:
         key = _ray_sort_key(scene, ray_o, ray_d)
         if mask is not None:
             key = jnp.where(mask, key, jnp.int32(1) << 28)
         perm = jnp.argsort(key)
-        ray_o, ray_d, t_lim = ray_o[perm], ray_d[perm], t_lim[perm]
+        ray_o, ray_d = ray_o[perm], ray_d[perm]
+        t_lim, ah = t_lim[perm], ah[perm]
 
     rays = jnp.concatenate(
-        [ray_o, ray_d, t_lim[:, None], jnp.zeros((B, 1), ray_o.dtype)],
-        axis=1,
+        [ray_o, ray_d, t_lim[:, None], ah[:, None]], axis=1
     )
     if pad:
         rays = jnp.concatenate([rays, jnp.zeros((pad, 8), rays.dtype)], 0)
@@ -225,42 +306,53 @@ def _run(scene: ClusterScene, ray_o, ray_d, t_lim, maxc, any_hit,
         ],
         axis=0,
     )
-    kernel = functools.partial(_list_kernel_impl, maxc=maxc,
-                               any_hit=any_hit)
+    if share:
+        kernel = functools.partial(_block_kernel_impl, maxc=maxc, rb=rb)
+    else:
+        kernel = functools.partial(_list_kernel_impl, maxc=maxc)
     interpret = jax.default_backend() != "tpu"
 
     def run_bucket(g):
         """Candidate build + kernel over the first ``g`` blocks only."""
-        rg = rays[: g * RB]
-        cand, ctn, overflow = candidate_clusters(
-            scene, rg[:, 0:3], rg[:, 3:6], rg[:, 6], maxc
-        )
+        rg = rays[: g * rb]
+        if share:
+            cand, ctn, overflow = candidate_clusters_grouped(
+                scene, rg[:, 0:3], rg[:, 3:6], rg[:, 6], maxc, rb
+            )                                             # (g, maxc)
+        else:
+            cand, ctn, overflow = candidate_clusters(
+                scene, rg[:, 0:3], rg[:, 3:6], rg[:, 6], maxc
+            )                                             # (gRB, maxc)
         cand_k = jnp.where(cand >= 0, cand, k2)  # empty slot -> dummy
+        cand_rows = 1 if share else RB
         at, ar = pl.pallas_call(
             kernel,
             grid=(g,),
             in_specs=[
-                pl.BlockSpec((RB, maxc), lambda b: (b, 0),
+                pl.BlockSpec((cand_rows, maxc), lambda b: (b, 0),
                              memory_space=pltpu.SMEM),        # cand ids
-                pl.BlockSpec((RB, maxc), lambda b: (b, 0),
+                pl.BlockSpec((cand_rows, maxc), lambda b: (b, 0),
                              memory_space=pltpu.VMEM),        # entry-t
-                pl.BlockSpec((RB, 8), lambda b: (b, 0),
+                pl.BlockSpec((rb, 8), lambda b: (b, 0),
                              memory_space=pltpu.VMEM),        # rays
                 pl.BlockSpec(memory_space=pltpu.VMEM),        # tiles
             ],
             out_specs=(
-                pl.BlockSpec((RB, T_CLUSTER), lambda b: (b, 0),
+                pl.BlockSpec((rb, T_CLUSTER), lambda b: (b, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((RB, T_CLUSTER), lambda b: (b, 0),
+                pl.BlockSpec((rb, T_CLUSTER), lambda b: (b, 0),
                              memory_space=pltpu.VMEM),
             ),
             out_shape=(
-                jax.ShapeDtypeStruct((g * RB, T_CLUSTER), jnp.float32),
-                jax.ShapeDtypeStruct((g * RB, T_CLUSTER), jnp.int32),
+                jax.ShapeDtypeStruct((g * rb, T_CLUSTER), jnp.float32),
+                jax.ShapeDtypeStruct((g * rb, T_CLUSTER), jnp.int32),
             ),
-            scratch_shapes=[pltpu.VMEM((9, RB, T_CLUSTER), jnp.float32)],
+            scratch_shapes=(
+                [] if share
+                else [pltpu.VMEM((9, RB, T_CLUSTER), jnp.float32)]
+            ),
             interpret=interpret,
-        )(cand_k, ctn, rays[: g * RB], tris)
+        )(cand_k, ctn, rays[: g * rb], tris)
 
         # reduction tail INSIDE the bucket (dense reductions only — no
         # argmin on the hot path) so its cost scales with the live prefix
@@ -271,21 +363,31 @@ def _run(scene: ClusterScene, ray_o, ray_d, t_lim, maxc, any_hit,
         # with a full candidate list may have had farther clusters
         # dropped, but any dropped hit satisfies t >= its entry-t >=
         # ctn_last — so best <= ctn_last proves no dropped one could win
-        resolved = (cand[:, maxc - 1] < 0) | (tmin <= ctn[:, maxc - 1])
         lanes = jax.lax.broadcasted_iota(jnp.int32, at.shape, 1)
         sel = at <= tmin[:, None]
         # consistent (lane, round) winner: lane-major packing
         pk = jnp.min(jnp.where(sel, lanes * 64 + jnp.minimum(ar, 63),
                                jnp.int32(1 << 30)), axis=1)
         lane = pk // 64
-        rwin = pk % 64
-        cl = jnp.take_along_axis(
-            cand, jnp.minimum(rwin, maxc - 1)[:, None], axis=1
-        )[:, 0]
+        rwin = jnp.minimum(pk % 64, maxc - 1)
+        if share:
+            resolved = jnp.broadcast_to(
+                (cand[:, maxc - 1] < 0)[:, None], (g, rb)
+            ).reshape(-1) | (
+                tmin
+                <= jnp.broadcast_to(
+                    ctn[:, maxc - 1][:, None], (g, rb)
+                ).reshape(-1)
+            )
+            blk = jnp.arange(g * rb, dtype=jnp.int32) // rb
+            cl = cand.reshape(-1)[blk * maxc + rwin]
+        else:
+            resolved = (cand[:, maxc - 1] < 0) | (tmin <= ctn[:, maxc - 1])
+            cl = jnp.take_along_axis(cand, rwin[:, None], axis=1)[:, 0]
         packed = jnp.where(hit, cl * T_CLUSTER + lane, -1)
         t = jnp.where(hit, tmin, BIG_T)
 
-        fill = nb * RB - g * RB
+        fill = nb * rb - g * rb
         if fill:
             # beyond the bucket: only dead rays (sort invariant) -> miss
             t = jnp.concatenate([t, jnp.full((fill,), BIG_T)], 0)
@@ -308,7 +410,7 @@ def _run(scene: ClusterScene, ray_o, ray_d, t_lim, maxc, any_hit,
         n_live = jnp.sum(mask)
         idx = jnp.zeros((), jnp.int32)
         for bkt in buckets[:-1]:
-            idx = idx + (n_live > bkt * RB).astype(jnp.int32)
+            idx = idx + (n_live > bkt * rb).astype(jnp.int32)
         t, packed, resolved, overflow = jax.lax.switch(
             idx, [functools.partial(run_bucket, g) for g in buckets]
         )
@@ -317,25 +419,34 @@ def _run(scene: ClusterScene, ray_o, ray_d, t_lim, maxc, any_hit,
     if perm is not None:
         inv = jnp.argsort(perm)
         t, packed, resolved = t[inv], packed[inv], resolved[inv]
-    return t, packed, resolved, overflow
+    # tag as remat residuals: the whole sweep (sort + candidate build +
+    # kernel) is dead code in the integrators' backward replay
+    return name_traversal(t, packed, resolved, overflow)
+
+
+def _default_maxc(share):
+    return DEFAULT_MAXC_SHARE if share else DEFAULT_MAXC
 
 
 def closest_hit(scene: ClusterScene, ray_o, ray_d,
-                maxc: int = DEFAULT_MAXC, mask=None):
+                maxc: int | None = None, mask=None, share=None):
     """Closest-hit for rays [B,3] -> (t [B], prim [B] i32 -1 on miss,
-    overflow) — overflow True iff some ray hit more than ``maxc`` cluster
-    boxes (possible dropped hits, like the XLA tracer's pair budgets).
-    ``mask``: False lanes are dead rays, reported as misses at ~zero
-    cost (see _run)."""
+    overflow) — overflow True iff some ray (or block, in share mode) hit
+    more than ``maxc`` cluster boxes (possible dropped hits, like the XLA
+    tracer's pair budgets).  ``mask``: False lanes are dead rays, reported
+    as misses at ~zero cost (see _run)."""
     if not fits_in_vmem(scene):
         raise ValueError(
             f"scene too large for the VMEM list tracer "
             f"({scene.num_clusters} clusters); use the XLA cluster tracer"
         )
+    share = LIST_SHARE_DEFAULT if share is None else share
+    maxc = _default_maxc(share) if maxc is None else maxc
     B = ray_o.shape[0]
     t_lim = jnp.full((B,), BIG_T, ray_o.dtype)
     t, packed, _resolved, overflow = _run(scene, ray_o, ray_d, t_lim,
-                                          maxc, any_hit=False, mask=mask)
+                                          maxc, any_hit=False, mask=mask,
+                                          share=share)
     hit = packed >= 0
     win = jnp.maximum(packed, 0)
     prim = scene.cl_tri_idx[win // T_CLUSTER, win % T_CLUSTER]
@@ -344,36 +455,39 @@ def closest_hit(scene: ClusterScene, ray_o, ray_d,
 
 
 def any_hit(scene: ClusterScene, ray_o, ray_d, t_max,
-            maxc: int = DEFAULT_MAXC, mask=None):
+            maxc: int | None = None, mask=None, share=None):
     """Occlusion: True where any triangle lies at t < t_max - SHADOW_EPS
     (reference evaluate_shadow_ray slack, render_kernel.cpp:744-759).
     Returns (blocked [B] bool, overflow).  ``mask``: False lanes are dead
     rays, reported unblocked at ~zero cost (see _run)."""
     if not fits_in_vmem(scene):
         raise ValueError("scene too large for the VMEM list tracer")
+    share = LIST_SHARE_DEFAULT if share is None else share
+    maxc = _default_maxc(share) if maxc is None else maxc
     t, packed, _resolved, overflow = _run(
         scene, ray_o, ray_d, t_max - SHADOW_EPS, maxc, any_hit=True,
-        mask=mask,
+        mask=mask, share=share,
     )
     return packed >= 0, overflow
 
 
 def intersect_list(scene: ClusterScene, tris, ray_o, ray_d,
-                   of: list | None = None, mask=None) -> Hit:
+                   of: list | None = None, mask=None, share=None) -> Hit:
     """Closest-hit with a differentiable hit record (stop-gradient +
     finalize recompute, same recipe as ops.cluster.intersect_clusters)."""
     from sycl_ray_tracing_tpu.ops.intersect import finalize_hit
 
     o_ng = jax.lax.stop_gradient(ray_o)
     d_ng = jax.lax.stop_gradient(ray_d)
-    _, prim, overflow = closest_hit(scene, o_ng, d_ng, mask=mask)
+    _, prim, overflow = closest_hit(scene, o_ng, d_ng, mask=mask,
+                                    share=share)
     if of is not None:
         of.append(overflow)
     return finalize_hit(ray_o, ray_d, tris, prim)
 
 
 def multi_query(scene: ClusterScene, queries,
-                maxc: int = DEFAULT_MAXC):
+                maxc: int | None = None, share=None):
     """FUSED scene queries: one sort + candidate build + kernel launch for
     several ray sets (e.g. a bounce's continuation closest-hit + its NEE
     shadow rays).  Per-launch glue (ray sort, bucket switch, dispatch) is
@@ -382,21 +496,29 @@ def multi_query(scene: ClusterScene, queries,
     them).
 
     ``queries``: list of (ray_o [B,3], ray_d [B,3], t_lim [B] or None for
-    closest-hit, mask [B] or None).  Returns (results, overflow) where
-    results[i] = (t [B], packed [B]) — packed >= 0 means "a triangle lies
-    at t < t_lim", which answers BOTH closest-hit (t, prim) and occlusion
-    (blocked) exactly; an any-hit query just reads packed >= 0.  Shadow
-    t_lims should already include the reference's SHADOW_EPS slack.
+    closest-hit, mask [B] or None[, any_hit bool]).  Returns (results,
+    overflow) where results[i] = (t [B], packed [B]) — packed >= 0 means
+    "a triangle lies at t < t_lim", which answers BOTH closest-hit
+    (t, prim) and occlusion (blocked) exactly; an any-hit query just reads
+    packed >= 0.  Shadow t_lims should already include the reference's
+    SHADOW_EPS slack.  Queries flagged any_hit=True get the early-exit
+    guard (their t/packed still answer "blocked below t_lim" exactly, but
+    t may not be the true closest once blocked — don't read it as one).
     """
     if not fits_in_vmem(scene):
         raise ValueError("scene too large for the VMEM list tracer")
-    os_, ds_, tls, masks = [], [], [], []
-    for (o, d, tl, m) in queries:
+    share = LIST_SHARE_DEFAULT if share is None else share
+    maxc = _default_maxc(share) if maxc is None else maxc
+    os_, ds_, tls, masks, ahs = [], [], [], [], []
+    for q in queries:
+        o, d, tl, m = q[:4]
+        ah = bool(q[4]) if len(q) > 4 else False
         B = o.shape[0]
         os_.append(o)
         ds_.append(d)
         tls.append(jnp.full((B,), BIG_T, o.dtype) if tl is None else tl)
         masks.append(jnp.ones((B,), bool) if m is None else m)
+        ahs.append(jnp.full((B,), ah, bool))
     # pure intersection oracle: gradients flow through finalize_hit
     # recompute (packed_to_prim + ops.intersect.finalize_hit), never
     # through the kernel itself
@@ -404,12 +526,14 @@ def multi_query(scene: ClusterScene, queries,
     d = jax.lax.stop_gradient(jnp.concatenate(ds_, 0))
     tl = jax.lax.stop_gradient(jnp.concatenate(tls, 0))
     mask = jnp.concatenate(masks, 0)
+    ah = jnp.concatenate(ahs, 0)
     # NOTE: an adaptive two-pass (maxc=16 + certified-unresolved redo at
     # 48) was tried and REVERTED: per-launch fixed cost (~8-10ms at 32k
     # rays) dominates, so two launches lose to one deeper one (measured
     # 1.80s vs 1.31s on the dragon frame).
     t, packed, _resolved, overflow = _run(scene, o, d, tl, maxc,
-                                          any_hit=False, mask=mask)
+                                          any_hit=ah, mask=mask,
+                                          share=share)
     results = []
     lo = 0
     for q in queries:

@@ -344,7 +344,9 @@ def _run(scene: ClusterScene, ray_o, ray_d, t_lim, any_hit: bool,
     t, packed = t[:B, 0], packed[:B, 0]
     if inv is not None:
         t, packed = t[inv], packed[inv]
-    return t, packed
+    from sycl_ray_tracing_tpu.ops.intersect import name_traversal
+
+    return name_traversal(t, packed)
 
 
 def closest_hit(scene: ClusterScene, ray_o, ray_d):

@@ -27,8 +27,9 @@ def _random_rays(n, rng, lo=-2.0, hi=2.0):
     return jnp.asarray(o), jnp.asarray(d)
 
 
+@pytest.mark.parametrize("share", [False, True])
 @pytest.mark.parametrize("n_tris,n_rays", [(40, 64), (500, 300), (2000, 257)])
-def test_closest_hit_matches_oracle(n_tris, n_rays):
+def test_closest_hit_matches_oracle(n_tris, n_rays, share):
     rng = np.random.default_rng(n_tris)
     tris_np = rng.uniform(-1, 1, (n_tris, 3, 3)).astype(np.float32)
     tris = jnp.asarray(tris_np)
@@ -36,7 +37,7 @@ def test_closest_hit_matches_oracle(n_tris, n_rays):
     assert fits_in_vmem(cs)
     o, d = _random_rays(n_rays, rng)
     oracle = intersect_triangles(o, d, tris)
-    t, prim, overflow = closest_hit(cs, o, d)
+    t, prim, overflow = closest_hit(cs, o, d, share=share)
     assert not bool(overflow)
     m = np.asarray(oracle.hit)
     np.testing.assert_array_equal(np.asarray(prim >= 0), m)
@@ -48,7 +49,8 @@ def test_closest_hit_matches_oracle(n_tris, n_rays):
     )
 
 
-def test_any_hit_matches_oracle():
+@pytest.mark.parametrize("share", [False, True])
+def test_any_hit_matches_oracle(share):
     rng = np.random.default_rng(3)
     tris_np = rng.uniform(-1, 1, (400, 3, 3)).astype(np.float32)
     cs = build_clusters(tris_np)
@@ -57,12 +59,13 @@ def test_any_hit_matches_oracle():
     m = np.asarray(oracle.hit)
     for tm in (0.5, 2.0, 1e30):
         t_max = jnp.full((256,), tm, jnp.float32)
-        got, _of = any_hit(cs, o, d, t_max)
+        got, _of = any_hit(cs, o, d, t_max, share=share)
         want = m & (np.asarray(oracle.t) + 1e-4 < tm)
         np.testing.assert_array_equal(np.asarray(got), want)
 
 
-def test_golden_rays_through_list_tracer(cornell_scene):
+@pytest.mark.parametrize("share", [False, True])
+def test_golden_rays_through_list_tracer(cornell_scene, share):
     """The reference's recorded rays (bvh_tests.h) through the kernel."""
     from tests.test_golden_rays import _parse_golden_data
 
@@ -71,19 +74,21 @@ def test_golden_rays_through_list_tracer(cornell_scene):
     cs = build_clusters(tris)
     o = jnp.asarray(hit_rays[:, :3])
     d = jnp.asarray(hit_rays[:, 3:])
-    t, prim, _of = closest_hit(cs, o, d)
+    t, prim, _of = closest_hit(cs, o, d, share=share)
     t = np.asarray(t)
     assert (t < BIG_T).all()
     pts = hit_rays[:, :3] + t[:, None] * hit_rays[:, 3:]
     assert np.abs(pts - expected_pts).max() < 1e-5
     t_m, prim_m, _of = closest_hit(
-        cs, jnp.asarray(miss_rays[:, :3]), jnp.asarray(miss_rays[:, 3:])
+        cs, jnp.asarray(miss_rays[:, :3]), jnp.asarray(miss_rays[:, 3:]),
+        share=share,
     )
     assert (np.asarray(t_m) >= BIG_T).all()
     assert (np.asarray(prim_m) < 0).all()
 
 
-def test_mesh_scene_matches_oracle():
+@pytest.mark.parametrize("share", [False, True])
+def test_mesh_scene_matches_oracle(share):
     from sycl_ray_tracing_tpu.utils.procedural import dragon_standin
 
     tris_np = dragon_standin(8_000)
@@ -92,7 +97,7 @@ def test_mesh_scene_matches_oracle():
     rng = np.random.default_rng(11)
     o, d = _random_rays(512, rng, -3, 3)
     oracle = intersect_triangles(o, d, tris)
-    t, prim, _of = closest_hit(cs, o, d)
+    t, prim, _of = closest_hit(cs, o, d, share=share)
     m = np.asarray(oracle.hit)
     np.testing.assert_array_equal(np.asarray(prim >= 0), m)
     np.testing.assert_allclose(
@@ -165,3 +170,43 @@ def test_mask_bucketing_matches_unmasked_on_live_lanes():
         np.testing.assert_array_equal(np.asarray(b_m)[m],
                                       np.asarray(b_u)[m])
         assert not np.asarray(b_m)[~m].any()
+
+
+@pytest.mark.parametrize("share", [False, True])
+def test_multi_query_mixed_anyhit(share):
+    """Fused queries with any-hit flags: occlusion answers stay exact even
+    though flagged rays may early-exit once blocked."""
+    from sycl_ray_tracing_tpu.ops.pallas.listtrace import (
+        multi_query,
+        packed_to_prim,
+    )
+    from sycl_ray_tracing_tpu.utils.procedural import dragon_standin
+
+    tris_np = dragon_standin(4_000)
+    tris = jnp.asarray(tris_np)
+    cs = build_clusters(tris_np)
+    rng = np.random.default_rng(7)
+    B = 256
+    o, d = _random_rays(B, rng, -3, 3)
+    o2, d2 = _random_rays(B, rng, -3, 3)
+    tmax = jnp.full((B,), 2.5, jnp.float32)
+    res, _of = multi_query(
+        cs,
+        [
+            (o, d, None, None, False),           # closest-hit
+            (o2, d2, tmax - 1e-4, None, True),   # occlusion, early-exit
+        ],
+        share=share,
+    )
+    oracle = intersect_triangles(o, d, tris)
+    t, prim = packed_to_prim(cs, *res[0])
+    m = np.asarray(oracle.hit)
+    np.testing.assert_array_equal(np.asarray(prim >= 0), m)
+    np.testing.assert_allclose(
+        np.asarray(t)[m], np.asarray(oracle.t)[m], rtol=1e-4, atol=1e-6
+    )
+    oracle2 = intersect_triangles(o2, d2, tris)
+    want_blocked = np.asarray(oracle2.hit) & (
+        np.asarray(oracle2.t) + 1e-4 < 2.5
+    )
+    np.testing.assert_array_equal(np.asarray(res[1][1] >= 0), want_blocked)

@@ -93,3 +93,40 @@ def test_train_step_grads(cornell_scene, test_env_map, rng_key):
         xs.reshape(-1), ys.reshape(-1), rng_key,
     )
     assert float(loss0) < 1e-6
+
+
+def test_weak_scaling_proxy(cornell_scene):
+    """Weak-scaling comm-fraction proxy on the virtual CPU mesh (BASELINE
+    target: >=90% rays/s scaling on real multi-chip ICI, which cannot be
+    measured here).  All N virtual devices share one host's cores, so
+    IDEAL weak scaling (constant per-device work, zero comm overhead) is
+    wall time growing ~linearly with N; sharding/collective overhead shows
+    up as super-linear growth.  efficiency_proxy = (N * t1) / tN.
+
+    The assertion is deliberately loose (CPU timing noise, XLA fusion
+    differences across mesh shapes); the printed number is the artifact.
+    """
+    import time
+
+    from sycl_ray_tracing_tpu.parallel.mesh import pad_to_multiple  # noqa
+
+    cam = cornell_box_camera()
+    times = {}
+    for n in (1, 8):
+        # constant per-device work: W scales with n
+        cfg = RenderConfig(width=8 * n, height=8, samples=2, bounces=2)
+        mesh = make_mesh(n, sample_axis=1)
+        f = jax.jit(
+            lambda s, c, k, cfg=cfg, mesh=mesh: render_sharded(
+                s, c, cfg, k, mesh
+            )
+        )
+        f(cornell_scene, cam, jax.random.PRNGKey(0))  # compile
+        t0 = time.time()
+        for i in range(3):
+            np.asarray(f(cornell_scene, cam, jax.random.PRNGKey(i)))
+        times[n] = (time.time() - t0) / 3
+    eff = (8 * times[1]) / max(times[8], 1e-9)
+    print(f"weak-scaling proxy: t1={times[1]*1e3:.1f}ms "
+          f"t8={times[8]*1e3:.1f}ms efficiency={eff:.2f}")
+    assert eff > 0.3  # loose: catches only gross per-device overheads
