@@ -458,7 +458,11 @@ def _mt_rows_scalar(tri_rows, o, d):
 
 def _dense_cluster_mask(scene: ClusterScene, ray_o, inv_d, t_lim):
     """Slab-test ALL clusters against all rays: [B,K2] (dense, scalarized)."""
-    boxes = scene.cl_box                               # [K2,8]
+    return _dense_box_mask(scene.cl_box, ray_o, inv_d, t_lim)
+
+
+def _dense_box_mask(boxes, ray_o, inv_d, t_lim):
+    """Slab-test boxes [K,8] against rays: (hit [B,K], tnear [B,K])."""
     ox, oy, oz = ray_o[:, 0:1], ray_o[:, 1:2], ray_o[:, 2:3]
     ix, iy, iz = inv_d[:, 0:1], inv_d[:, 1:2], inv_d[:, 2:3]
     x0 = (boxes[None, :, 0] - ox) * ix                 # [B,K2]
@@ -510,17 +514,23 @@ def _extract_candidates(hit, tnear, maxc: int, k2: int):
 
     ``maxc`` min-reduction rounds over a packed (quantized-tnear |
     cluster-id) key.  Positive-float bits are order-preserving as int32,
-    so dropping the low 11 mantissa bits makes room for the cluster id and
-    min() selects (nearest, its id) in ONE reduction per round — no
-    argmin/take_along, no compaction sorts, no scatter.  Requires
-    k2 <= 2048 (11-bit ids).
+    so dropping the low ceil(log2(k2)) mantissa bits (11 at <=2048
+    clusters, 13 at the 870k-tri flagship's ~6.8k) makes room for the
+    cluster id and min() selects (nearest, its id) in ONE reduction per
+    round — no argmin/take_along, no compaction sorts, no scatter.
+    Quantization rounds entry-t DOWN, which is conservative everywhere it
+    is consumed (ordering ties, early-exit guards, exactness
+    certificates).  Requires k2 <= 65536 (id bits eat at most 16 of the
+    23 mantissa bits; worst-case entry-t precision 2^-7 relative).
     """
     R = hit.shape[0]
-    assert k2 <= 2048, "_extract_candidates: cluster-id field is 11 bits"
+    assert k2 <= 65536, "_extract_candidates: cluster-id field too wide"
+    id_bits = max(11, (k2 - 1).bit_length())
+    id_mask = jnp.int32((1 << id_bits) - 1)
     tn = jnp.maximum(tnear, 0.0)
     tbits = jax.lax.bitcast_convert_type(tn, jnp.int32)
     ids = jax.lax.broadcasted_iota(jnp.int32, hit.shape, 1)
-    key = (tbits & ~jnp.int32(0x7FF)) | ids
+    key = (tbits & ~id_mask) | ids
     DEAD = jnp.int32(0x7F800000)          # +inf bits, id 0: above any real
     rem = jnp.where(hit, key, DEAD)
 
@@ -535,12 +545,11 @@ def _extract_candidates(hit, tnear, maxc: int, k2: int):
     for _ in range(maxc):
         m = jnp.min(jnp.where(rem > prev[:, None], rem, DEAD), axis=1)
         alive = m < DEAD
-        cands.append(jnp.where(alive, m & 0x7FF, -1))
+        cands.append(jnp.where(alive, m & id_mask, -1))
         tns.append(
             jnp.where(
                 alive,
-                jax.lax.bitcast_convert_type(m & ~jnp.int32(0x7FF),
-                                             jnp.float32),
+                jax.lax.bitcast_convert_type(m & ~id_mask, jnp.float32),
                 BIG_T,
             )
         )
@@ -594,6 +603,111 @@ def candidate_clusters_grouped(scene: ClusterScene, ray_o, ray_d, t_lim,
         axis=1,
     )
     return _extract_candidates(hit_g, tn_g, maxc, k2)
+
+
+def candidate_clusters_hier(scene: ClusterScene, ray_o, ray_d, t_lim,
+                            maxc: int, maxs: int = 12, group: int = 8):
+    """Per-ray nearest-first candidate lists via a SUPERCLUSTER prefilter.
+
+    Same contract as candidate_clusters (cand [B,maxc], ctn [B,maxc],
+    overflow) but the threshold-min extraction — whose HBM traffic
+    (rows x columns x maxc x 4B) dominates the whole sweep at scale —
+    runs over C = maxs*64 PREFILTERED columns instead of all K2 clusters:
+
+      1. dense [B,K1] supercluster slab tests (K1 is tiny)
+      2. per-BLOCK (``group`` sorted rays) SC candidate extraction,
+         ``maxs`` slots — block-level so the child-box row gather costs
+         B/group x maxs gathers, not B x maxs
+      3. per-ray slab tests against the selected SCs' 64 child boxes each
+         ([B, maxs*64], computed from the gathered planar rows)
+      4. per-ray extraction over [B, maxs*64] with LOCAL slot ids,
+         mapped back to global cluster ids through the block's SC list
+
+    At the 870k-tri flagship (K2=6784) this is ~K2/C = 9x less extraction
+    traffic; at the 200k stand-in (K2=1600) ~2-4x.  Exactly equivalent to
+    the dense build whenever no block hits more than ``maxs``
+    superclusters; beyond that the overflow flag is raised AND the
+    affected rows are marked unresolvable (ctn last slot = -BIG_T) so
+    _run's per-ray exactness certificates stay sound."""
+    B = ray_o.shape[0]
+    assert B % group == 0
+    nb = B // group
+    k1 = scene.num_superclusters
+    S = S_CLUSTER
+    inv_d = _inv_dir(ray_d)
+
+    # 1-2: block SC candidates
+    m1, tn1 = _dense_box_mask(scene.sc_box, ray_o, inv_d, t_lim)  # [B,K1]
+    hit_g = m1.reshape(nb, group, k1).any(axis=1)
+    tn_g = jnp.min(
+        jnp.where(m1, jnp.maximum(tn1, 0.0), BIG_T)
+        .reshape(nb, group, k1),
+        axis=1,
+    )
+    scand, _sctn, _of_ext = _extract_candidates(hit_g, tn_g, maxs, k1)
+    # per-BLOCK SC overflow (exact: any hit SC beyond the maxs nearest) —
+    # these blocks may be missing nearer clusters entirely, so their
+    # certificates must not fire
+    sc_of = jnp.sum(hit_g, axis=1) > maxs                         # [nb]
+
+    scv = scand >= 0                                              # [nb,maxs]
+    sc_idx = jnp.maximum(scand, 0)
+
+    # 3: per-ray slab tests against gathered child-box planar rows
+    rows = scene.cl_box_rows[sc_idx.reshape(-1)]                  # [nb*maxs, 8S]
+    rows = rows.reshape(nb, maxs, 8 * S)
+    o3 = ray_o.reshape(nb, group, 3)
+    i3 = inv_d.reshape(nb, group, 3)
+    tl2 = t_lim.reshape(nb, group, 1, 1)
+
+    def plane(c):
+        return rows[:, None, :, c * S:(c + 1) * S]                # [nb,1,maxs,S]
+
+    def oc(a):
+        return o3[:, :, None, a:a + 1]                            # [nb,g,1,1]
+
+    def ic(a):
+        return i3[:, :, None, a:a + 1]
+
+    x0 = (plane(0) - oc(0)) * ic(0)
+    y0 = (plane(1) - oc(1)) * ic(1)
+    z0 = (plane(2) - oc(2)) * ic(2)
+    x1 = (plane(3) - oc(0)) * ic(0)
+    y1 = (plane(4) - oc(1)) * ic(1)
+    z1 = (plane(5) - oc(2)) * ic(2)
+    tnear = jnp.maximum(
+        jnp.maximum(jnp.minimum(x0, x1), jnp.minimum(y0, y1)),
+        jnp.minimum(z0, z1),
+    )
+    tfar = jnp.minimum(
+        jnp.minimum(jnp.maximum(x0, x1), jnp.maximum(y0, y1)),
+        jnp.maximum(z0, z1),
+    )
+    hit2 = (
+        (tnear <= tfar) & (tfar > EPS) & (tnear < tl2)
+        & scv[:, None, :, None]
+    )                                                             # [nb,g,maxs,S]
+    C = maxs * S
+    hit2 = hit2.reshape(B, C)
+    tn2 = tnear.reshape(B, C)
+
+    # 4: per-ray extraction in LOCAL slot ids, mapped back to global
+    cand_l, ctn, of2 = _extract_candidates(hit2, tn2, maxc, C)
+    slot = jnp.maximum(cand_l, 0)
+    blk = jnp.arange(B, dtype=jnp.int32) // group
+    sc_g = scand.reshape(-1)[blk[:, None] * maxs + slot // S]     # [B,maxc]
+    cand = jnp.where(cand_l >= 0, sc_g * S + slot % S, -1)
+
+    # SC-overflow rows: poison the certificate (see _run: resolved needs a
+    # full-looking list whose last entry-t bounds dropped hits from below).
+    # Column rewrite via concat — never .at[].set (scatter is serial on
+    # this TPU); cluster 0 as the filler id is a real, harmless re-test.
+    row_of = sc_of[blk]                                           # [B]
+    last_c = jnp.where(row_of & (cand[:, -1] < 0), 0, cand[:, -1])
+    last_t = jnp.where(row_of, -BIG_T, ctn[:, -1])
+    cand = jnp.concatenate([cand[:, :-1], last_c[:, None]], axis=1)
+    ctn = jnp.concatenate([ctn[:, :-1], last_t[:, None]], axis=1)
+    return cand, ctn, jnp.any(sc_of) | of2
 
 
 def closest_hit(scene: ClusterScene, ray_o, ray_d):

@@ -68,11 +68,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from sycl_ray_tracing_tpu.ops.cluster import (
+    S_CLUSTER,
     SHADOW_EPS,
     T_CLUSTER,
     ClusterScene,
     candidate_clusters,
     candidate_clusters_grouped,
+    candidate_clusters_hier,
 )
 from sycl_ray_tracing_tpu.ops.intersect import BIG_T, Hit, name_traversal
 from sycl_ray_tracing_tpu.ops.safe_math import EPS
@@ -82,19 +84,33 @@ RB_SHARE = 32      # block-shared kernel: rays sharing one candidate list
 DEFAULT_MAXC = 32  # per-ray candidate slots (overflow flagged beyond)
 DEFAULT_MAXC_SHARE = 48  # block-union slots (unions are longer than lists)
 GROUP = 8          # unguarded leading rounds (see module docstring)
+HIER_MAXS = 16     # supercluster slots per block in the hierarchical build
 
 # Module default for the ``share`` mode of closest_hit/any_hit/multi_query
-# (callers may override per call).  Flipped by measurement on TPU.
-LIST_SHARE_DEFAULT = False
+# (callers may override per call).  None = auto: block-shared for scenes
+# past the round-2 cap (>2048 clusters), where the per-ray candidate
+# extraction's [B,K2] threshold-min sweeps are prohibitively wide (HBM
+# traffic scales as B*K2*maxc; sharing divides the row count by RB_SHARE).
+LIST_SHARE_DEFAULT = None
+
+
+def _resolve_share(scene: ClusterScene, share) -> bool:
+    if share is not None:
+        return bool(share)
+    if LIST_SHARE_DEFAULT is not None:
+        return bool(LIST_SHARE_DEFAULT)
+    return scene.num_clusters > 2048
 
 # VMEM cap for the resident triangle table; larger scenes fall back to the
-# XLA cluster tracer (a third hierarchy level is the planned fix).
-VMEM_SCENE_BYTES = 12 * 1024 * 1024
+# XLA cluster tracer.  v5e VMEM is 128 MiB; 64 MiB of scene leaves ample
+# room for the kernel's ray/candidate/output pipeline buffers.  The real
+# 870k-tri pbrt_dragon is ~6.8k clusters = 31.5 MiB: the flagship fits.
+VMEM_SCENE_BYTES = 64 * 1024 * 1024
 
 
 def fits_in_vmem(scene: ClusterScene) -> bool:
     return (
-        scene.num_clusters <= 2048  # candidate_clusters 11-bit id packing
+        scene.num_clusters <= 8192  # 13-bit candidate id packing
         and scene.num_clusters * 9 * T_CLUSTER * 4 <= VMEM_SCENE_BYTES
     )
 
@@ -227,25 +243,32 @@ def _block_kernel_impl(cand_s, ctn_ref, rays_ref, tris_ref,
 
 
 def _ray_sort_key(scene: ClusterScene, ray_o, ray_d):
-    """Spatial sort key: 18-bit Morton of the origin cell (6 bits/axis over
-    the scene bounds) + 3-bit direction octant.  Sorted rays give the
-    kernel homogeneous blocks, so the tail guard actually fires (unsorted
-    blocks almost always contain one straggler) and block-shared candidate
-    unions stay tight."""
+    """Spatial sort key: 15-bit Morton of the origin cell (5 bits/axis over
+    the scene bounds) above a 12-bit Morton of the DIRECTION (4 bits/axis
+    over [-1,1]).  Sorted rays give the kernel homogeneous blocks, so the
+    tail guard actually fires (unsorted blocks almost always contain one
+    straggler) and block-shared candidate unions stay tight.
+
+    Direction bits matter as much as origin bits: a ray's cluster
+    footprint is direction-dominated past the first few cells, and the
+    round-2 3-bit octant left same-origin primary bundles sorted in
+    SCANLINE order — measured 32-ray unions were ~4.6x the per-ray list
+    even for near-parallel rays; 2D-patch ordering via direction Morton
+    collapses that."""
     lo = jnp.min(scene.sc_box[:, 0:3], axis=0)
     hi = jnp.max(scene.sc_box[:, 3:6], axis=0)
     q = jnp.clip((ray_o - lo) / jnp.maximum(hi - lo, 1e-6), 0.0, 1.0)
-    cell = (q * 63.0).astype(jnp.int32)                       # [B,3]
+    cell = (q * 31.0).astype(jnp.int32)                       # [B,3]
     m = jnp.zeros(ray_o.shape[:1], jnp.int32)
-    for b in range(6):
+    for b in range(5):
         for a in range(3):
             m = m | (((cell[:, a] >> b) & 1) << (3 * b + a))
-    octant = (
-        (ray_d[:, 0] < 0).astype(jnp.int32) * 4
-        + (ray_d[:, 1] < 0).astype(jnp.int32) * 2
-        + (ray_d[:, 2] < 0).astype(jnp.int32)
-    )
-    return (m << 3) | octant
+    dq = (jnp.clip(ray_d * 0.5 + 0.5, 0.0, 1.0) * 15.0).astype(jnp.int32)
+    dm = jnp.zeros(ray_d.shape[:1], jnp.int32)
+    for b in range(4):
+        for a in range(3):
+            dm = dm | (((dq[:, a] >> b) & 1) << (3 * b + a))
+    return (m << 12) | dm
 
 
 def _run(scene: ClusterScene, ray_o, ray_d, t_lim, maxc, any_hit,
@@ -273,7 +296,9 @@ def _run(scene: ClusterScene, ray_o, ray_d, t_lim, maxc, any_hit,
     docstring) — one list per RB_SHARE sorted rays, each tile loaded once
     per block.
     """
-    assert maxc <= 64, "winner packing uses 6 round bits"
+    assert maxc <= 128, "winner packing uses at most 7 round bits"
+    # rounds-per-lane field width for the packed (lane, round) winner
+    rslot = 1 << max(1, (maxc - 1)).bit_length()
     B = ray_o.shape[0]
     rb = RB_SHARE if share else RB
     nb = -(-B // rb)
@@ -319,6 +344,15 @@ def _run(scene: ClusterScene, ray_o, ray_d, t_lim, maxc, any_hit,
             cand, ctn, overflow = candidate_clusters_grouped(
                 scene, rg[:, 0:3], rg[:, 3:6], rg[:, 6], maxc, rb
             )                                             # (g, maxc)
+        elif scene.num_clusters > 2 * HIER_MAXS * S_CLUSTER:
+            # supercluster-prefiltered build (only where the column cut is
+            # >=2x): extraction traffic scales with maxs*64 prefiltered
+            # columns, not all K2 clusters — the dominant HBM cost of a
+            # sweep at flagship scale (870k tris: 6784 -> 1024 columns)
+            cand, ctn, overflow = candidate_clusters_hier(
+                scene, rg[:, 0:3], rg[:, 3:6], rg[:, 6], maxc,
+                maxs=HIER_MAXS, group=rb,
+            )                                             # (gRB, maxc)
         else:
             cand, ctn, overflow = candidate_clusters(
                 scene, rg[:, 0:3], rg[:, 3:6], rg[:, 6], maxc
@@ -366,10 +400,11 @@ def _run(scene: ClusterScene, ray_o, ray_d, t_lim, maxc, any_hit,
         lanes = jax.lax.broadcasted_iota(jnp.int32, at.shape, 1)
         sel = at <= tmin[:, None]
         # consistent (lane, round) winner: lane-major packing
-        pk = jnp.min(jnp.where(sel, lanes * 64 + jnp.minimum(ar, 63),
-                               jnp.int32(1 << 30)), axis=1)
-        lane = pk // 64
-        rwin = jnp.minimum(pk % 64, maxc - 1)
+        pk = jnp.min(
+            jnp.where(sel, lanes * rslot + jnp.minimum(ar, rslot - 1),
+                      jnp.int32(1 << 30)), axis=1)
+        lane = pk // rslot
+        rwin = jnp.minimum(pk % rslot, maxc - 1)
         if share:
             resolved = jnp.broadcast_to(
                 (cand[:, maxc - 1] < 0)[:, None], (g, rb)
@@ -429,28 +464,36 @@ def _default_maxc(share):
 
 
 def closest_hit(scene: ClusterScene, ray_o, ray_d,
-                maxc: int | None = None, mask=None, share=None):
+                maxc: int | None = None, mask=None, share=None,
+                with_resolved: bool = False):
     """Closest-hit for rays [B,3] -> (t [B], prim [B] i32 -1 on miss,
     overflow) — overflow True iff some ray (or block, in share mode) hit
     more than ``maxc`` cluster boxes (possible dropped hits, like the XLA
     tracer's pair budgets).  ``mask``: False lanes are dead rays, reported
-    as misses at ~zero cost (see _run)."""
+    as misses at ~zero cost (see _run).
+
+    ``with_resolved=True`` appends the per-ray exactness certificate: a
+    resolved ray's answer is provably the true closest hit even when the
+    batch overflowed (its best t is at or below the last candidate's
+    entry-t, so no dropped cluster could hold a nearer hit)."""
     if not fits_in_vmem(scene):
         raise ValueError(
             f"scene too large for the VMEM list tracer "
             f"({scene.num_clusters} clusters); use the XLA cluster tracer"
         )
-    share = LIST_SHARE_DEFAULT if share is None else share
+    share = _resolve_share(scene, share)
     maxc = _default_maxc(share) if maxc is None else maxc
     B = ray_o.shape[0]
     t_lim = jnp.full((B,), BIG_T, ray_o.dtype)
-    t, packed, _resolved, overflow = _run(scene, ray_o, ray_d, t_lim,
-                                          maxc, any_hit=False, mask=mask,
-                                          share=share)
+    t, packed, resolved, overflow = _run(scene, ray_o, ray_d, t_lim,
+                                         maxc, any_hit=False, mask=mask,
+                                         share=share)
     hit = packed >= 0
     win = jnp.maximum(packed, 0)
     prim = scene.cl_tri_idx[win // T_CLUSTER, win % T_CLUSTER]
     prim = jnp.where(hit, prim, -1)
+    if with_resolved:
+        return t, prim, overflow, resolved
     return t, prim, overflow
 
 
@@ -462,7 +505,7 @@ def any_hit(scene: ClusterScene, ray_o, ray_d, t_max,
     rays, reported unblocked at ~zero cost (see _run)."""
     if not fits_in_vmem(scene):
         raise ValueError("scene too large for the VMEM list tracer")
-    share = LIST_SHARE_DEFAULT if share is None else share
+    share = _resolve_share(scene, share)
     maxc = _default_maxc(share) if maxc is None else maxc
     t, packed, _resolved, overflow = _run(
         scene, ray_o, ray_d, t_max - SHADOW_EPS, maxc, any_hit=True,
@@ -507,7 +550,7 @@ def multi_query(scene: ClusterScene, queries,
     """
     if not fits_in_vmem(scene):
         raise ValueError("scene too large for the VMEM list tracer")
-    share = LIST_SHARE_DEFAULT if share is None else share
+    share = _resolve_share(scene, share)
     maxc = _default_maxc(share) if maxc is None else maxc
     os_, ds_, tls, masks, ahs = [], [], [], [], []
     for q in queries:

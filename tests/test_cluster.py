@@ -237,3 +237,42 @@ def test_fanout_path_matches_oracle_on_mesh():
     np.testing.assert_allclose(
         np.asarray(t)[m], np.asarray(oracle.t)[m], rtol=1e-5
     )
+
+
+def test_hier_candidates_match_dense_when_no_sc_overflow():
+    """candidate_clusters_hier == candidate_clusters whenever no ray block
+    hits more than maxs superclusters: same ids, same (quantization-
+    granular) entry-t order, same overflow verdict."""
+    import jax.numpy as jnp
+
+    from sycl_ray_tracing_tpu.ops.cluster import (
+        candidate_clusters,
+        candidate_clusters_hier,
+    )
+    from sycl_ray_tracing_tpu.utils.procedural import dragon_standin
+
+    tris = dragon_standin(150_000)
+    cs = build_clusters(tris)
+    rng = np.random.default_rng(5)
+    B = 128
+    # tight camera bundle: blocks stay within a few superclusters
+    o = jnp.asarray(np.tile(np.array([[0.0, 0.2, 3.0]], np.float32),
+                            (B, 1)))
+    d = np.stack([
+        np.linspace(-0.05, 0.05, B),
+        np.linspace(-0.03, 0.03, B),
+        np.full(B, -1.0),
+    ], axis=1).astype(np.float32)
+    d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True))
+    tl = jnp.full((B,), 1e30, jnp.float32)
+    maxc = 32
+    cd, td, ofd = candidate_clusters(cs, o, d, tl, maxc)
+    ch, th, ofh = candidate_clusters_hier(cs, o, d, tl, maxc, maxs=16,
+                                          group=8)
+    assert not bool(ofh) and not bool(ofd)
+    # same candidate SETS in the same nearest-first order; entry-t may
+    # differ only by the id-bit quantization granularity
+    np.testing.assert_array_equal(np.asarray(cd), np.asarray(ch))
+    mask = np.asarray(cd) >= 0
+    dt = np.abs(np.asarray(td) - np.asarray(th))[mask]
+    assert dt.max() <= np.maximum(np.asarray(td)[mask], 1.0).max() * 2e-3

@@ -130,3 +130,23 @@ def test_weak_scaling_proxy(cornell_scene):
     print(f"weak-scaling proxy: t1={times[1]*1e3:.1f}ms "
           f"t8={times[8]*1e3:.1f}ms efficiency={eff:.2f}")
     assert eff > 0.3  # loose: catches only gross per-device overheads
+
+
+def test_sharded_render_list_backend():
+    """The flagship's list (Pallas) backend inside shard_map on the
+    8-device mesh: the Mosaic kernel (interpret mode on CPU) composes
+    with pixel/sample sharding — this is the structure a multi-chip
+    dragon render actually runs."""
+    from sycl_ray_tracing_tpu.utils.procedural import dragon_scene
+    from sycl_ray_tracing_tpu.models.camera import pbrt_dragon_camera
+
+    scene = dragon_scene(n_tris=2_000, with_sky=True, sky_res=(16, 32))
+    cfg = RenderConfig(width=8, height=8, samples=2, bounces=2,
+                       intersect="list", estimator="shared")
+    mesh = make_mesh(8, sample_axis=2)
+    img = render_sharded(scene, pbrt_dragon_camera(), cfg,
+                         jax.random.PRNGKey(0), mesh)
+    img = np.asarray(img)
+    assert img.shape == (8, 8, 3)
+    assert np.isfinite(img).all()
+    assert img.mean() > 1e-4
