@@ -560,6 +560,73 @@ def _extract_candidates(hit, tnear, maxc: int, k2: int):
     return jnp.stack(cands, axis=1), jnp.stack(tns, axis=1), overflow
 
 
+# Extraction algorithm for candidate lists: "minrounds" (threshold-min,
+# maxc passes over [R,K2] — HBM traffic R*K2*maxc*4B) or "topk"
+# (jax.lax.approx_min_k, ONE fused PartialReduce pass; TPU-native top-k,
+# NOT the full-sort jnp.top_k this chip lowers badly).  approx recall
+# misses are made safe by a count check: every ray whose returned list is
+# shorter than min(true hit count, maxc) raises the overflow flag AND has
+# its certificate poisoned exactly like a true overflow.  Selected at runtime
+# so the TPU A/B (scratch/) can flip the default with evidence.
+EXTRACT_METHOD = "minrounds"
+
+
+def _extract_candidates_topk(hit, tnear, maxc: int, k2: int):
+    """One-pass extraction via approx_min_k on the packed keys (see
+    _extract_candidates for the key layout and conservativeness notes)."""
+    R = hit.shape[0]
+    assert k2 <= 65536
+    id_bits = max(11, (k2 - 1).bit_length())
+    id_mask = jnp.int32((1 << id_bits) - 1)
+    # clamp also above: the +2^23 bias below must not push keys past the
+    # inf bit pattern (1e30's bits leave ample headroom; real tnear values
+    # are scene-scale anyway)
+    tn = jnp.clip(tnear, 0.0, 1e30)
+    tbits = jax.lax.bitcast_convert_type(tn, jnp.int32)
+    ids = jax.lax.broadcasted_iota(jnp.int32, hit.shape, 1)
+    # +2^23 bias: a quantized tnear of 0 would otherwise make the packed
+    # key a SUBNORMAL float, and float-domain comparisons (approx_min_k,
+    # sort) flush subnormals to zero on TPU/CPU — "origin inside the box"
+    # candidates (the common bounce-ray case) would all compare equal.
+    # Biased keys are normal floats, so float order == int order exactly.
+    key = ((tbits & ~id_mask) | ids) + jnp.int32(1 << 23)
+    DEAD = jnp.int32(0x7F800000)                           # +inf: sorts last
+    rem = jnp.where(hit, key, DEAD)
+    kf = jax.lax.bitcast_convert_type(rem, jnp.float32)
+    vals, _idx = jax.lax.approx_min_k(kf, k=maxc)
+    # approx_min_k does NOT guarantee sorted output; nearest-first order is
+    # load-bearing (kernel early-exit guard reads per-slot entry-t, and the
+    # exactness certificate needs the LAST slot to be the row max).  A
+    # [R,maxc] sort is tiny next to the [R,K2] reduction it replaced.
+    vals = jnp.sort(vals, axis=1)
+    kv = jax.lax.bitcast_convert_type(vals, jnp.int32)     # [R,maxc] sorted
+    alive = kv < DEAD
+    kv = kv - jnp.int32(1 << 23)                           # undo the bias
+    cand = jnp.where(alive, kv & id_mask, -1)
+    ctn = jnp.where(
+        alive,
+        jax.lax.bitcast_convert_type(kv & ~id_mask, jnp.float32),
+        BIG_T,
+    )
+    # completeness check: recall misses and >maxc rays both flag overflow
+    # and poison the per-ray certificate (ctn last -> -BIG, cand last -> 0)
+    count = jnp.sum(hit, axis=1)
+    got = jnp.sum(alive, axis=1)
+    short = got < jnp.minimum(count, maxc)
+    over = short | (count > maxc)
+    last_c = jnp.where(over & (cand[:, -1] < 0), 0, cand[:, -1])
+    last_t = jnp.where(short, -BIG_T, ctn[:, -1])
+    cand = jnp.concatenate([cand[:, :-1], last_c[:, None]], axis=1)
+    ctn = jnp.concatenate([ctn[:, :-1], last_t[:, None]], axis=1)
+    return cand, ctn, jnp.any(over)
+
+
+def _extract(hit, tnear, maxc, k2):
+    if EXTRACT_METHOD == "topk":
+        return _extract_candidates_topk(hit, tnear, maxc, k2)
+    return _extract_candidates(hit, tnear, maxc, k2)
+
+
 def candidate_clusters(scene: ClusterScene, ray_o, ray_d, t_lim, maxc: int):
     """Per-ray nearest-first candidate cluster lists (fixed ``maxc`` slots).
 
@@ -568,12 +635,12 @@ def candidate_clusters(scene: ClusterScene, ray_o, ray_d, t_lim, maxc: int):
     True if any ray hit more than ``maxc`` cluster boxes).
 
     This replaces the budgeted pair-expansion pipeline for the Pallas list
-    tracer: a dense [B,K2] slab test + threshold-min extraction
-    (_extract_candidates).
+    tracer: a dense [B,K2] slab test + nearest-first extraction
+    (_extract: threshold-min rounds or TPU-native approx top-k).
     """
     inv_d = _inv_dir(ray_d)
     hit, tnear = _dense_cluster_mask(scene, ray_o, inv_d, t_lim)   # [B,K2]
-    return _extract_candidates(hit, tnear, maxc, scene.num_clusters)
+    return _extract(hit, tnear, maxc, scene.num_clusters)
 
 
 def candidate_clusters_grouped(scene: ClusterScene, ray_o, ray_d, t_lim,
@@ -602,7 +669,7 @@ def candidate_clusters_grouped(scene: ClusterScene, ray_o, ray_d, t_lim,
         .reshape(B // group, group, k2),
         axis=1,
     )
-    return _extract_candidates(hit_g, tn_g, maxc, k2)
+    return _extract(hit_g, tn_g, maxc, k2)
 
 
 def candidate_clusters_hier(scene: ClusterScene, ray_o, ray_d, t_lim,
@@ -692,7 +759,7 @@ def candidate_clusters_hier(scene: ClusterScene, ray_o, ray_d, t_lim,
     tn2 = tnear.reshape(B, C)
 
     # 4: per-ray extraction in LOCAL slot ids, mapped back to global
-    cand_l, ctn, of2 = _extract_candidates(hit2, tn2, maxc, C)
+    cand_l, ctn, of2 = _extract(hit2, tn2, maxc, C)
     slot = jnp.maximum(cand_l, 0)
     blk = jnp.arange(B, dtype=jnp.int32) // group
     sc_g = scand.reshape(-1)[blk[:, None] * maxs + slot // S]     # [B,maxc]

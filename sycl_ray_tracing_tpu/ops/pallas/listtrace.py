@@ -87,19 +87,20 @@ GROUP = 8          # unguarded leading rounds (see module docstring)
 HIER_MAXS = 16     # supercluster slots per block in the hierarchical build
 
 # Module default for the ``share`` mode of closest_hit/any_hit/multi_query
-# (callers may override per call).  None = auto: block-shared for scenes
-# past the round-2 cap (>2048 clusters), where the per-ray candidate
-# extraction's [B,K2] threshold-min sweeps are prohibitively wide (HBM
-# traffic scales as B*K2*maxc; sharing divides the row count by RB_SHARE).
-LIST_SHARE_DEFAULT = None
+# (callers may override per call).  Per-ray is the default everywhere:
+# measured sorted block unions on incoherent bounce rays are ~5x the
+# per-ray list at rb=8 and ~15x at rb=32 (docs/ARCHITECTURE.md 2c), so a
+# shared union list would overflow any maxc on exactly the sweeps that
+# dominate a render.  Big scenes get their extraction-traffic cut from
+# the hierarchical build (candidate_clusters_hier) instead; share stays
+# an opt-in for coherent workloads (primaries, sun shadows).
+LIST_SHARE_DEFAULT = False
 
 
 def _resolve_share(scene: ClusterScene, share) -> bool:
     if share is not None:
         return bool(share)
-    if LIST_SHARE_DEFAULT is not None:
-        return bool(LIST_SHARE_DEFAULT)
-    return scene.num_clusters > 2048
+    return bool(LIST_SHARE_DEFAULT)
 
 # VMEM cap for the resident triangle table; larger scenes fall back to the
 # XLA cluster tracer.  v5e VMEM is 128 MiB; 64 MiB of scene leaves ample

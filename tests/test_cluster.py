@@ -276,3 +276,39 @@ def test_hier_candidates_match_dense_when_no_sc_overflow():
     mask = np.asarray(cd) >= 0
     dt = np.abs(np.asarray(td) - np.asarray(th))[mask]
     assert dt.max() <= np.maximum(np.asarray(td)[mask], 1.0).max() * 2e-3
+
+
+def test_topk_extraction_matches_minrounds():
+    """The approx_min_k extraction path (one fused TPU PartialReduce pass)
+    must match threshold-min extraction EXACTLY on CPU (exact fallback):
+    same ids in the same nearest-first order, same entry-ts, same overflow.
+    Covers the subnormal-key hazard (quantized entry-t == 0 packs to a
+    subnormal float; the +2^23 key bias keeps float order == int order)."""
+    import jax.numpy as jnp
+
+    from sycl_ray_tracing_tpu.ops import cluster as C
+    from sycl_ray_tracing_tpu.utils.procedural import dragon_standin
+
+    tris = dragon_standin(50_000)
+    cs = C.build_clusters(tris)
+    rng = np.random.default_rng(2)
+    B = 512
+    # surface origins: tnear == 0 (inside own cluster box) is common here
+    idx = rng.integers(0, tris.shape[0], B)
+    o = jnp.asarray(tris[idx].mean(axis=1))
+    d = rng.normal(size=(B, 3)).astype(np.float32)
+    d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True))
+    tl = jnp.full((B,), 1e30, jnp.float32)
+    ref = C.candidate_clusters(cs, o, d, tl, 32)
+    try:
+        C.EXTRACT_METHOD = "topk"
+        got = C.candidate_clusters(cs, o, d, tl, 32)
+        got_h = C.candidate_clusters_hier(cs, o, d, tl, 32, maxs=16,
+                                          group=8)
+    finally:
+        C.EXTRACT_METHOD = "minrounds"
+    ref_h = C.candidate_clusters_hier(cs, o, d, tl, 32, maxs=16, group=8)
+    np.testing.assert_array_equal(np.asarray(ref[0]), np.asarray(got[0]))
+    np.testing.assert_array_equal(np.asarray(ref[1]), np.asarray(got[1]))
+    assert bool(ref[2]) == bool(got[2])
+    np.testing.assert_array_equal(np.asarray(ref_h[0]), np.asarray(got_h[0]))
