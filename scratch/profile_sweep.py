@@ -20,6 +20,7 @@ def main():
     share = bool(int(sys.argv[1])) if len(sys.argv) > 1 else False
     B = int(sys.argv[2]) if len(sys.argv) > 2 else 32768
     maxc = int(sys.argv[3]) if len(sys.argv) > 3 else None
+    extract = sys.argv[4] if len(sys.argv) > 4 else "minrounds"
 
     import jax
     import jax.numpy as jnp
@@ -27,9 +28,12 @@ def main():
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+    from sycl_ray_tracing_tpu.ops import cluster as cl
     from sycl_ray_tracing_tpu.ops.cluster import build_clusters
     from sycl_ray_tracing_tpu.ops.pallas import listtrace
     from sycl_ray_tracing_tpu.utils.procedural import dragon_standin
+
+    cl.EXTRACT_METHOD = extract
 
     tris_np = dragon_standin(200_000)
     n = tris_np.shape[0]

@@ -33,10 +33,13 @@ def main():
     w = h = 512
     rays = w * h * 8  # spp=1, 8 bounces
 
-    def frame_time(share, rb_share, maxc):
+    from sycl_ray_tracing_tpu.ops import cluster as cl
+
+    def frame_time(share, rb_share, maxc, extract):
         listtrace.LIST_SHARE_DEFAULT = share
         listtrace.RB_SHARE = rb_share
         listtrace.DEFAULT_MAXC_SHARE = maxc
+        cl.EXTRACT_METHOD = extract
         cfg = RenderConfig(width=w, height=h, samples=1, bounces=8,
                            intersect="list", tile_rays=32768,
                            estimator="shared")
@@ -50,17 +53,23 @@ def main():
         assert np.isfinite(out).all() and out.mean() > 1e-4
         return min(ts)
 
-    configs = [("per-ray", False, 8, 32)]
-    for rb in (8, 16, 32):
-        for mc in (32, 48):
-            configs.append((f"share rb={rb} maxc={mc}", True, rb, mc))
-    for name, share, rb, mc in configs:
+    configs = [
+        ("per-ray minrounds", False, 8, 32, "minrounds"),
+        ("per-ray topk", False, 8, 32, "topk"),
+        ("share rb=8  mc=48 topk", True, 8, 48, "topk"),
+        ("share rb=8  mc=48 minr", True, 8, 48, "minrounds"),
+        ("share rb=16 mc=64 topk", True, 16, 64, "topk"),
+        ("share rb=32 mc=64 topk", True, 32, 64, "topk"),
+    ]
+    for name, share, rb, mc, ex in configs:
         try:
-            dt = frame_time(share, rb, mc)
+            dt = frame_time(share, rb, mc, ex)
             print(f"{name:24s} frame {dt*1e3:7.1f} ms   "
                   f"{rays/dt/1e6:6.2f} Mrays/s", flush=True)
         except Exception as e:
             print(f"{name:24s} FAILED: {e!r}"[:200], flush=True)
+    listtrace.LIST_SHARE_DEFAULT = False
+    cl.EXTRACT_METHOD = "minrounds"
 
 
 if __name__ == "__main__":
