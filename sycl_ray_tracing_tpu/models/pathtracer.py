@@ -63,6 +63,12 @@ def _remat(body):
     return jax.checkpoint(body, prevent_cse=False, policy=_REMAT_POLICY)
 
 
+# Use the block-shared list kernel for trace_shared's PRIMARY rays (always
+# coherent); None falls back to the list tracer's own default.  A/B'd on
+# TPU by scratch/share_bench.py.
+PRIMARY_SHARE = True
+
+
 # purpose tags for key folding — one stream per random decision
 _JITTER = 0
 _LIGHT = 1       # light pick + area sample (3 uniforms)
@@ -97,7 +103,8 @@ def _resolve_backend(scene: Scene, backend: str) -> str:
 
 
 def intersect_scene(scene: Scene, ray_o, ray_d, backend: str = "auto",
-                    of: list | None = None, mask=None) -> Hit:
+                    of: list | None = None, mask=None,
+                    list_share=None) -> Hit:
     """Closest-hit dispatch (reference INTERSECT_SCENE,
     render_kernel.cpp:504-511): wavefront clusters (the TPU-native
     structure), lockstep BVH, or brute-force triangles, plus brute-force
@@ -118,7 +125,7 @@ def intersect_scene(scene: Scene, ray_o, ray_d, backend: str = "auto",
         from sycl_ray_tracing_tpu.ops.pallas.listtrace import intersect_list
 
         hit = intersect_list(scene.clusters, scene.triangles, ray_o, ray_d,
-                             of, mask=mask)
+                             of, mask=mask, share=list_share)
     elif backend == "cluster":
         from sycl_ray_tracing_tpu.ops.cluster import intersect_clusters
 
@@ -552,7 +559,12 @@ def trace_shared(scene: Scene, ray_o, ray_d, key, bounces: int,
         )                                                # [N,4]
 
     of0 = []
-    hit0 = intersect_scene(scene, ray_o, ray_d, backend, of0)
+    # primaries are COHERENT (dense pixel bundles): the block-shared list
+    # kernel amortizes each candidate tile load over the whole block there,
+    # where measured unions stay near the per-ray list size (unlike bounce
+    # rays — docs/ARCHITECTURE.md 2c).  Flag for the TPU A/B.
+    hit0 = intersect_scene(scene, ray_o, ray_d, backend, of0,
+                           list_share=PRIMARY_SHARE)
 
     def bounce_body(carry, bounce):
         ray_o, ray_d, hit, throughput, radiance, alive, overflow = carry
