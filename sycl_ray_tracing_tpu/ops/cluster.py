@@ -673,8 +673,12 @@ def candidate_clusters_grouped(scene: ClusterScene, ray_o, ray_d, t_lim,
 
 
 def candidate_clusters_hier(scene: ClusterScene, ray_o, ray_d, t_lim,
-                            maxc: int, maxs: int = 12, group: int = 8):
+                            maxc: int, maxs: int = 12, group: int = 8,
+                            grouped: bool = False):
     """Per-ray nearest-first candidate lists via a SUPERCLUSTER prefilter.
+    With ``grouped=True``, returns per-BLOCK union lists [B/group, maxc]
+    instead (the block-shared kernel's contract), still over the
+    prefiltered maxs*64 columns.
 
     Same contract as candidate_clusters (cand [B,maxc], ctn [B,maxc],
     overflow) but the threshold-min extraction — whose HBM traffic
@@ -755,21 +759,37 @@ def candidate_clusters_hier(scene: ClusterScene, ray_o, ray_d, t_lim,
         & scv[:, None, :, None]
     )                                                             # [nb,g,maxs,S]
     C = maxs * S
-    hit2 = hit2.reshape(B, C)
-    tn2 = tnear.reshape(B, C)
 
-    # 4: per-ray extraction in LOCAL slot ids, mapped back to global
-    cand_l, ctn, of2 = _extract(hit2, tn2, maxc, C)
-    slot = jnp.maximum(cand_l, 0)
-    blk = jnp.arange(B, dtype=jnp.int32) // group
-    sc_g = scand.reshape(-1)[blk[:, None] * maxs + slot // S]     # [B,maxc]
-    cand = jnp.where(cand_l >= 0, sc_g * S + slot % S, -1)
+    if grouped:
+        # BLOCK lists (for the block-shared kernel): union-reduce the
+        # per-ray child tests before extraction, like
+        # candidate_clusters_grouped but over the prefiltered columns
+        hit_b = hit2.reshape(nb, group, C).any(axis=1)
+        tn_b = jnp.min(
+            jnp.where(hit2, jnp.maximum(tnear, 0.0), BIG_T)
+            .reshape(nb, group, C),
+            axis=1,
+        )
+        cand_l, ctn, of2 = _extract(hit_b, tn_b, maxc, C)         # [nb,maxc]
+        slot = jnp.maximum(cand_l, 0)
+        sc_g = jnp.take_along_axis(scand, slot // S, axis=1)      # [nb,maxc]
+        cand = jnp.where(cand_l >= 0, sc_g * S + slot % S, -1)
+        row_of = sc_of                                            # [nb]
+    else:
+        hit2 = hit2.reshape(B, C)
+        tn2 = tnear.reshape(B, C)
+        # 4: per-ray extraction in LOCAL slot ids, mapped back to global
+        cand_l, ctn, of2 = _extract(hit2, tn2, maxc, C)
+        slot = jnp.maximum(cand_l, 0)
+        blk = jnp.arange(B, dtype=jnp.int32) // group
+        sc_g = scand.reshape(-1)[blk[:, None] * maxs + slot // S]  # [B,maxc]
+        cand = jnp.where(cand_l >= 0, sc_g * S + slot % S, -1)
+        row_of = sc_of[blk]                                       # [B]
 
     # SC-overflow rows: poison the certificate (see _run: resolved needs a
     # full-looking list whose last entry-t bounds dropped hits from below).
     # Column rewrite via concat — never .at[].set (scatter is serial on
     # this TPU); cluster 0 as the filler id is a real, harmless re-test.
-    row_of = sc_of[blk]                                           # [B]
     last_c = jnp.where(row_of & (cand[:, -1] < 0), 0, cand[:, -1])
     last_t = jnp.where(row_of, -BIG_T, ctn[:, -1])
     cand = jnp.concatenate([cand[:, :-1], last_c[:, None]], axis=1)

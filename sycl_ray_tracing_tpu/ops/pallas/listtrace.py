@@ -341,11 +341,17 @@ def _run(scene: ClusterScene, ray_o, ray_d, t_lim, maxc, any_hit,
     def run_bucket(g):
         """Candidate build + kernel over the first ``g`` blocks only."""
         rg = rays[: g * rb]
-        if share:
+        big = scene.num_clusters > 2 * HIER_MAXS * S_CLUSTER
+        if share and big:
+            cand, ctn, overflow = candidate_clusters_hier(
+                scene, rg[:, 0:3], rg[:, 3:6], rg[:, 6], maxc,
+                maxs=HIER_MAXS, group=rb, grouped=True,
+            )                                             # (g, maxc)
+        elif share:
             cand, ctn, overflow = candidate_clusters_grouped(
                 scene, rg[:, 0:3], rg[:, 3:6], rg[:, 6], maxc, rb
             )                                             # (g, maxc)
-        elif scene.num_clusters > 2 * HIER_MAXS * S_CLUSTER:
+        elif big:
             # supercluster-prefiltered build (only where the column cut is
             # >=2x): extraction traffic scales with maxs*64 prefiltered
             # columns, not all K2 clusters — the dominant HBM cost of a
