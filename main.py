@@ -93,6 +93,26 @@ def main(argv=None) -> int:
         W, H = config.width, config.height
         tile = config.tile_rays
         if not tile or tile >= W * H:
+            if config.samples >= 8:
+                # untiled multi-sample renders go through the progressive
+                # batcher purely for in-flight % progress (the reference
+                # prints % throughout, render_kernel.cpp:205-209); sample
+                # streams are keyed by absolute sample index, identical to
+                # the --checkpoint path
+                from sycl_ray_tracing_tpu.models.progressive import (
+                    ProgressiveRenderer,
+                )
+
+                spb = next(b for b in range(max(1, config.samples // 8),
+                                            0, -1)
+                           if config.samples % b == 0)
+                pr = ProgressiveRenderer(scene, camera, config,
+                                         samples_per_batch=spb)
+                pr.run(on_batch=lambda st: print(
+                    f"{st.samples_done * 100.0 / config.samples:0.6g}%",
+                    flush=True))
+                return (pr.state.image.reshape(H, W, 3),
+                        {"overflow": jnp.asarray(pr.state.overflow)})
             hdr, aux = jax.jit(
                 lambda s, c, k: pathtracer.render(s, c, config, k,
                                                   with_aux=True)
