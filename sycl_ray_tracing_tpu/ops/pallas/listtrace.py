@@ -305,8 +305,23 @@ def _run(scene: ClusterScene, ray_o, ray_d, t_lim, maxc, any_hit,
     nb = -(-B // rb)
     pad = nb * rb - B
     k2 = scene.num_clusters
-    if mask is not None:
-        t_lim = jnp.where(mask, t_lim, -BIG_T)
+    # root-box cull: a ray that misses the scene's bounding box cannot hit
+    # any cluster — fold it into the dead-lane mask so the sort pushes it
+    # into trailing blocks the bucketed launch never runs.  Sky-dominated
+    # frames (dragon + HDR sky primaries) skip those rays' kernel rounds
+    # AND their candidate-build rows entirely.
+    lo = jnp.min(scene.sc_box[:, 0:3], axis=0)
+    hi = jnp.max(scene.sc_box[:, 3:6], axis=0)
+    sign = jnp.where(ray_d < 0, -1.0, 1.0)
+    inv = sign / jnp.maximum(jnp.abs(ray_d), 1e-30)
+    t0r = (lo[None] - ray_o) * inv
+    t1r = (hi[None] - ray_o) * inv
+    tnr = jnp.max(jnp.minimum(t0r, t1r), axis=-1)
+    tfr = jnp.min(jnp.maximum(t0r, t1r), axis=-1)
+    root_hit = (tnr <= tfr) & (tfr > EPS) & (tnr < t_lim)
+    explicit_mask = mask is not None
+    mask = root_hit if mask is None else (mask & root_hit)
+    t_lim = jnp.where(mask, t_lim, -BIG_T)
     if isinstance(any_hit, bool):
         ah = jnp.full((B,), 1.0 if any_hit else 0.0, jnp.float32)
     else:
@@ -439,7 +454,12 @@ def _run(scene: ClusterScene, ray_o, ray_d, t_lim, maxc, any_hit,
                 [resolved, jnp.ones((fill,), bool)], 0)
         return t, packed, resolved, overflow
 
-    if mask is None or perm is None:
+    # interpret mode buckets ONLY on explicit masks: each switch branch is
+    # a separate interpreter kernel build, and piling extra switch
+    # compiles into one CPU process trips a known XLA-CPU compiler abort
+    # (root-cull-only masks gain little on CPU anyway — the dead rays'
+    # empty candidate lists already exit at the kernel guard)
+    if perm is None or (interpret and not explicit_mask):
         t, packed, resolved, overflow = run_bucket(nb)
     else:
         if interpret:
