@@ -86,7 +86,7 @@ def _uniforms(key, bounce, tag, shape):
 def _resolve_backend(scene: Scene, backend: str) -> str:
     """"auto" picks the best available structure; "list" degrades to the
     XLA cluster tracer when the scene exceeds the VMEM list tracer's
-    limits (>2048 clusters = >262k triangles) instead of raising."""
+    limits (>8192 clusters = >1M triangles) instead of raising."""
     if backend == "auto":
         if scene.clusters is not None:
             backend = "cluster"

@@ -23,8 +23,9 @@ problem.
 
 Geometry is grouped by Morton order (or the C++ SAH builder's leaf order)
 into clusters of T_CLUSTER=128 triangles and superclusters of 64 clusters;
-the Pallas list tracer's VMEM/id limits cap it at 2048 clusters = 262k
-triangles, with a third level planned for multi-million-triangle scenes.
+the Pallas list tracer holds up to 8192 clusters = 1M triangles in VMEM
+(adaptive id packing + the supercluster-prefiltered candidate build,
+candidate_clusters_hier), which covers the reference's 870k-tri flagship.
 
 The reference equivalent is the flattened BVH + iterative traversal
 (flattened_bvh.h:12-48); capability is the same (closest-hit + any-hit for
