@@ -633,8 +633,7 @@ def trace_shared(scene: Scene, ray_o, ray_d, key, bounces: int,
             cos_e = dot(hit.normal, wi_e)
             env_mask = live_hit & (cos_e > 0.0)
 
-        fuse = (backend == "list" and scene.clusters is not None
-                and scene.num_spheres == 0)
+        fuse = backend == "list" and scene.clusters is not None
         if fuse:
             from sycl_ray_tracing_tpu.ops.cluster import (
                 SHADOW_EPS as _SH_EPS,
@@ -663,6 +662,31 @@ def trace_shared(scene: Scene, ray_o, ray_d, key, bounces: int,
                 shadowed = res[1][1] >= 0
             if has_env:
                 blocked = res[-1][1] >= 0
+            if scene.num_spheres > 0:
+                # merge brute-force sphere hits/occlusion, exactly like
+                # the unfused dispatch (reference intersect_scene's sphere
+                # loop, render_kernel.cpp:485-502)
+                n = scene.num_triangles
+                sphere_prim = n + jnp.arange(scene.num_spheres,
+                                             dtype=jnp.int32)
+                s_hit = intersect_spheres(
+                    origin, wi_s, scene.sphere_centers,
+                    scene.sphere_radii, sphere_prim,
+                )
+                h2 = merge_hits(h2, s_hit)
+                if num_lights > 0:
+                    shadowed = _merge_sphere_occlusion(
+                        scene, origin, wi_l, dist, shadowed
+                    )
+                if has_env:
+                    from sycl_ray_tracing_tpu.ops.intersect import (
+                        BIG_T as _BIG,
+                    )
+
+                    blocked = _merge_sphere_occlusion(
+                        scene, origin, wi_e,
+                        jnp.full((B,), _BIG, origin.dtype), blocked,
+                    )
         else:
             h2 = intersect_scene(scene, origin, wi_s, backend, of,
                                  mask=cont_ok)  # closest-hit #1

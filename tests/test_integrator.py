@@ -238,3 +238,57 @@ def test_render_surfaces_cluster_overflow(cornell_scene, rng_key):
     img, aux = pathtracer.render(roomy, cam, cfg, rng_key, with_aux=True)
     assert not bool(aux["overflow"])
     assert np.isfinite(np.asarray(img)).all()
+
+
+def test_fused_list_path_with_spheres_matches_brute(test_env_map):
+    """Scenes WITH spheres now take the fused list path too: the shared
+    estimator through backend='list' (fused 3-query + sphere merge) must
+    match backend='brute' bitwise-tightly at the same key — identical
+    estimator and RNG streams, both intersectors exact."""
+    import numpy as np
+
+    from sycl_ray_tracing_tpu.models.scene import make_materials, make_scene
+    from sycl_ray_tracing_tpu.utils.procedural import dragon_standin
+
+    tris = dragon_standin(2_000)
+    mats = make_materials(
+        emission=[(1.0, 0.0, 1.0), (0, 0, 0), (6.0, 6.0, 6.0)],
+        diffuse=[(0, 0, 0), (0.7, 0.6, 0.5), (0, 0, 0)],
+        metalness=[0.0, 0.3, 0.0],
+        roughness=[1.0, 0.5, 1.0],
+    )
+    # emissive panel above + two spheres in the scene
+    lp = 1.0
+    panel = np.array(
+        [[[-lp, 3.0, -lp], [lp, 3.0, -lp], [lp, 3.0, lp]],
+         [[-lp, 3.0, -lp], [lp, 3.0, lp], [-lp, 3.0, lp]]], np.float32)
+    all_tris = np.concatenate([tris, panel], 0)
+    mat_idx = np.concatenate(
+        [np.full(tris.shape[0], 1, np.int32), np.full(2, 2, np.int32)])
+    scene = make_scene(
+        all_tris, mat_idx, mats,
+        sphere_centers=np.array([[1.5, 0.0, 0.0], [-1.2, 0.5, 0.8]],
+                                np.float32),
+        sphere_radii=np.array([0.5, 0.35], np.float32),
+        sphere_material=np.array([1, 1], np.int32),
+        env_map_image=test_env_map,
+    )
+    scene = scene.build_acceleration(num_rays_hint=256)
+
+    from sycl_ray_tracing_tpu.models.camera import pbrt_dragon_camera
+
+    cam = pbrt_dragon_camera()
+    cfg_kw = dict(width=8, height=8, samples=2, bounces=3, tile_rays=None)
+    from sycl_ray_tracing_tpu.utils.config import RenderConfig
+
+    key = jax.random.PRNGKey(3)
+    imgs = {}
+    for backend in ("brute", "list"):
+        cfg = RenderConfig(intersect=backend, estimator="shared", **cfg_kw)
+        imgs[backend] = np.asarray(
+            pathtracer.render(scene, cam, cfg, key)
+        )
+    assert np.isfinite(imgs["list"]).all()
+    assert imgs["list"].mean() > 1e-4
+    np.testing.assert_allclose(imgs["list"], imgs["brute"],
+                               rtol=2e-4, atol=1e-5)
