@@ -1,4 +1,7 @@
 """Split timing: candidate_clusters (XLA) vs the Pallas list kernel."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import sys, time
 import jax
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")

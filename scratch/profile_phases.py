@@ -1,5 +1,8 @@
 """Where do the XLA cluster tracer's ms go? Cumulative prefix timing with
 scalar outputs (tunnel transfers must stay tiny)."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import time
 import jax
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")

@@ -6,6 +6,9 @@ converter is broken; parse the trace json.gz directly).
 Usage: python scratch/profile_sweep.py [share] [rays] [maxc]
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import glob
 import gzip
 import json

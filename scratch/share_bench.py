@@ -9,6 +9,9 @@ per measurement (axon block_until_ready quirk).
 Usage: python scratch/share_bench.py [--frames-only]
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import sys
 import time
 
@@ -35,11 +38,12 @@ def main():
 
     from sycl_ray_tracing_tpu.ops import cluster as cl
 
-    def frame_time(share, rb_share, maxc, extract):
+    def frame_time(share, rb_share, maxc, extract, primary_share=True):
         listtrace.LIST_SHARE_DEFAULT = share
         listtrace.RB_SHARE = rb_share
         listtrace.DEFAULT_MAXC_SHARE = maxc
         cl.EXTRACT_METHOD = extract
+        pathtracer.PRIMARY_SHARE = primary_share
         cfg = RenderConfig(width=w, height=h, samples=1, bounces=8,
                            intersect="list", tile_rays=32768,
                            estimator="shared")
@@ -54,16 +58,16 @@ def main():
         return min(ts)
 
     configs = [
-        ("per-ray minrounds", False, 8, 32, "minrounds"),
-        ("per-ray topk", False, 8, 32, "topk"),
-        ("share rb=8  mc=48 topk", True, 8, 48, "topk"),
-        ("share rb=8  mc=48 minr", True, 8, 48, "minrounds"),
-        ("share rb=16 mc=64 topk", True, 16, 64, "topk"),
-        ("share rb=32 mc=64 topk", True, 32, 64, "topk"),
+        ("per-ray minrounds", False, 8, 32, "minrounds", True),
+        ("per-ray topk", False, 8, 32, "topk", True),
+        ("per-ray topk noPshare", False, 8, 32, "topk", False),
+        ("share rb=8  mc=48 topk", True, 8, 48, "topk", True),
+        ("share rb=16 mc=64 topk", True, 16, 64, "topk", True),
+        ("share rb=32 mc=64 topk", True, 32, 64, "topk", True),
     ]
-    for name, share, rb, mc, ex in configs:
+    for name, share, rb, mc, ex, ps in configs:
         try:
-            dt = frame_time(share, rb, mc, ex)
+            dt = frame_time(share, rb, mc, ex, ps)
             print(f"{name:24s} frame {dt*1e3:7.1f} ms   "
                   f"{rays/dt/1e6:6.2f} Mrays/s", flush=True)
         except Exception as e:

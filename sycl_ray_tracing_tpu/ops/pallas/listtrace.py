@@ -148,14 +148,17 @@ def _mt8(ax, ay, az, bx, by, bz, cx, cy, cz, ox, oy, oz, dx, dy, dz, tl):
     return jnp.where(ok, t, BIG_T)
 
 
-def _tail_guard(at_ref, rays, ctn_tail, maxc, round_fn):
+def _tail_guard(at_ref, rays, ctn_first, maxc, round_fn):
     """Single early-exit guard after the first GROUP rounds (shared by both
     kernels).  Entry-t is monotone per list, so if no ray's remaining
     candidates can beat its current best (min over lanes) the tail is
-    provably useless.  A ray with the any-hit flag (rays[:,7] > 0) that is
-    already blocked (best < its t_lim) needs nothing more either."""
+    provably useless — and because the tail entry-ts ascend, comparing the
+    FIRST tail slot (``ctn_first``: (RB,1) for per-ray lists, scalar for a
+    shared list) is equivalent to comparing them all.  A ray with the
+    any-hit flag (rays[:,7] > 0) that is already blocked (best < its
+    t_lim) needs nothing more either."""
     bt = jnp.min(at_ref[:], axis=1, keepdims=True)       # (RB,1)
-    useful = ctn_tail < bt
+    useful = ctn_first < bt
     ah_done = (rays[:, 7:8] > 0.0) & (bt < rays[:, 6:7])
     useful = useful & (~ah_done)
 
@@ -200,15 +203,21 @@ def _list_kernel_impl(cand_s, ctn_ref, rays_ref, tris_ref,
         _round(r)
 
     if maxc > GROUP:
-        _tail_guard(at_ref, rays, ctn_ref[:, GROUP:maxc], maxc, _round)
+        _tail_guard(at_ref, rays, ctn_ref[:, GROUP:GROUP + 1], maxc, _round)
 
 
-def _block_kernel_impl(cand_s, ctn_ref, rays_ref, tris_ref,
+def _block_kernel_impl(cand_s, ctn_s, rays_ref, tris_ref,
                        at_ref, ar_ref, *, maxc, rb):
     """One ``rb``-ray block over its SHARED candidate list.
 
-    cand_s:  (1, maxc)  i32 SMEM  block candidate clusters (DUMMY=K2 empty)
-    ctn_ref: (1, maxc)  f32 VMEM  block entry-t (BIG_T empty)
+    cand_s:  (8, maxc)  i32 SMEM  candidate clusters for 8 CONSECUTIVE
+                                  blocks (DUMMY=K2 empty); this block reads
+                                  row program_id % 8.  Mosaic requires
+                                  sublane-dim block sizes divisible by 8,
+                                  so single-row blocks are fetched in
+                                  8-row granularity (a few hundred SMEM
+                                  bytes — refetching is free).
+    ctn_s:   (8, maxc)  f32 SMEM  entry-t, same 8-row layout (BIG_T empty)
     rays_ref:(rb, 8)    f32 VMEM  o3 d3 t_lim anyhit_flag
     tris_ref:(K2+1,9,T) f32 VMEM  resident triangle tiles + dummy row K2
     at_ref:  (rb, T)    f32 OUT   per-(ray,lane) min t across rounds
@@ -219,6 +228,7 @@ def _block_kernel_impl(cand_s, ctn_ref, rays_ref, tris_ref,
     replicate, not a lane relayout — so the per-round cost is ~one tile
     copy + one (rb,T) MT regardless of rb.
     """
+    row = pl.program_id(0) % 8
     shape = (rb, T_CLUSTER)
     rays = rays_ref[:]
     bc = lambda c: jnp.broadcast_to(rays[:, c:c + 1], shape)  # noqa: E731
@@ -227,7 +237,7 @@ def _block_kernel_impl(cand_s, ctn_ref, rays_ref, tris_ref,
     ar_ref[:] = jnp.full(shape, -1, jnp.int32)
 
     def _round(r):
-        tile = tris_ref[cand_s[0, r]]                    # (9, T)
+        tile = tris_ref[cand_s[row, r]]                  # (9, T)
         planes = [
             jnp.broadcast_to(tile[c:c + 1, :], shape) for c in range(9)
         ]
@@ -240,7 +250,7 @@ def _block_kernel_impl(cand_s, ctn_ref, rays_ref, tris_ref,
         _round(r)
 
     if maxc > GROUP:
-        _tail_guard(at_ref, rays, ctn_ref[0:1, GROUP:maxc], maxc, _round)
+        _tail_guard(at_ref, rays, ctn_s[row, GROUP], maxc, _round)
 
 
 def _ray_sort_key(scene: ClusterScene, ray_o, ray_d):
@@ -380,15 +390,32 @@ def _run(scene: ClusterScene, ray_o, ray_d, t_lim, maxc, any_hit,
                 scene, rg[:, 0:3], rg[:, 3:6], rg[:, 6], maxc
             )                                             # (gRB, maxc)
         cand_k = jnp.where(cand >= 0, cand, k2)  # empty slot -> dummy
-        cand_rows = 1 if share else RB
+        ctn_k = ctn
+        if share:
+            # Mosaic sublane rule: block rows must be divisible by 8, so
+            # the per-block (1, maxc) rows ship in 8-row granules — pad
+            # the row count and index row program_id%8 inside the kernel
+            gpad = -g % 8
+            if gpad:
+                cand_k = jnp.concatenate(
+                    [cand_k, jnp.full((gpad, maxc), k2, jnp.int32)], 0)
+                ctn_k = jnp.concatenate(
+                    [ctn_k, jnp.full((gpad, maxc), BIG_T, jnp.float32)], 0)
+            cand_spec = pl.BlockSpec((8, maxc), lambda b: (b // 8, 0),
+                                     memory_space=pltpu.SMEM)
+            ctn_spec = pl.BlockSpec((8, maxc), lambda b: (b // 8, 0),
+                                    memory_space=pltpu.SMEM)
+        else:
+            cand_spec = pl.BlockSpec((RB, maxc), lambda b: (b, 0),
+                                     memory_space=pltpu.SMEM)
+            ctn_spec = pl.BlockSpec((RB, maxc), lambda b: (b, 0),
+                                    memory_space=pltpu.VMEM)
         at, ar = pl.pallas_call(
             kernel,
             grid=(g,),
             in_specs=[
-                pl.BlockSpec((cand_rows, maxc), lambda b: (b, 0),
-                             memory_space=pltpu.SMEM),        # cand ids
-                pl.BlockSpec((cand_rows, maxc), lambda b: (b, 0),
-                             memory_space=pltpu.VMEM),        # entry-t
+                cand_spec,                                    # cand ids
+                ctn_spec,                                     # entry-t
                 pl.BlockSpec((rb, 8), lambda b: (b, 0),
                              memory_space=pltpu.VMEM),        # rays
                 pl.BlockSpec(memory_space=pltpu.VMEM),        # tiles
@@ -407,8 +434,16 @@ def _run(scene: ClusterScene, ray_o, ray_d, t_lim, maxc, any_hit,
                 [] if share
                 else [pltpu.VMEM((9, RB, T_CLUSTER), jnp.float32)]
             ),
+            # the resident scene (up to VMEM_SCENE_BYTES) + pipeline
+            # buffers exceed Mosaic's default 16 MiB scoped-vmem budget at
+            # flagship scale (870k tris = 31.5 MiB of tiles); v5e has
+            # 128 MiB.  Blocks are independent -> the grid is parallel.
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel",),
+                vmem_limit_bytes=110 * 1024 * 1024,
+            ),
             interpret=interpret,
-        )(cand_k, ctn, rays[: g * rb], tris)
+        )(cand_k, ctn_k, rays[: g * rb], tris)
 
         # reduction tail INSIDE the bucket (dense reductions only — no
         # argmin on the hot path) so its cost scales with the live prefix
