@@ -40,7 +40,10 @@ def main():
         listtrace.RB_SHARE = rb_share
         listtrace.DEFAULT_MAXC_SHARE = maxc
         cl.EXTRACT_METHOD = extract
-        pathtracer.PRIMARY_SHARE = True
+        # the accuracy reference must be PURELY per-ray (ADVICE r3: a
+        # hardcoded True here rendered the reference's primaries through
+        # the share kernel, understating share-mode error on primary hits)
+        pathtracer.PRIMARY_SHARE = share
         cfg = RenderConfig(width=w, height=h, samples=1, bounces=8,
                            intersect="list", tile_rays=32768,
                            estimator="shared")

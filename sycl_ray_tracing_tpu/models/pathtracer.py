@@ -83,13 +83,22 @@ def _uniforms(key, bounce, tag, shape):
     return jax.random.uniform(k, shape, jnp.float32)
 
 
-def _resolve_backend(scene: Scene, backend: str) -> str:
-    """"auto" picks the best available structure; "list" degrades to the
-    XLA cluster tracer when the scene exceeds the VMEM list tracer's
-    limits (>8192 clusters = >1M triangles) instead of raising."""
+def _resolve_backend(scene: Scene, backend: str,
+                     platform: str | None = None) -> str:
+    """"auto" picks the best available structure — ON TPU the Pallas list
+    tracer whenever the clustered scene fits in VMEM (2-15x faster than
+    the XLA cluster tracer on every measured workload,
+    scratch/share_bench*), like the reference's USE_BVH default-on
+    (render_kernel.h:13); off-TPU the XLA cluster tracer (the list kernel
+    only exists in interpret mode there — correct but pathologically
+    slow).  "list" degrades to the XLA cluster tracer when the scene
+    exceeds the VMEM list tracer's limits (>8192 clusters = >1M
+    triangles) instead of raising."""
     if backend == "auto":
+        if platform is None:
+            platform = jax.default_backend()
         if scene.clusters is not None:
-            backend = "cluster"
+            backend = "list" if platform == "tpu" else "cluster"
         elif scene.bvh is not None:
             backend = "bvh"
         else:
@@ -117,11 +126,7 @@ def intersect_scene(scene: Scene, ray_o, ray_d, backend: str = "auto",
     is unused; backends that support pruning (list) return a miss for
     them at ~zero cost, others just ignore the hint."""
     backend = _resolve_backend(scene, backend)
-    if backend == "pallas":
-        from sycl_ray_tracing_tpu.ops.pallas.traverse import intersect_pallas
-
-        hit = intersect_pallas(scene.clusters, scene.triangles, ray_o, ray_d)
-    elif backend == "list":
+    if backend == "list":
         from sycl_ray_tracing_tpu.ops.pallas.listtrace import intersect_list
 
         hit = intersect_list(scene.clusters, scene.triangles, ray_o, ray_d,
@@ -176,11 +181,7 @@ def occluded(scene: Scene, ray_o, ray_d, t_max=None, backend: str = "auto",
     o_ng = jax.lax.stop_gradient(ray_o)
     d_ng = jax.lax.stop_gradient(ray_d)
     t_ng = jax.lax.stop_gradient(t_max)
-    if backend == "pallas":
-        from sycl_ray_tracing_tpu.ops.pallas.traverse import any_hit as pallas_any
-
-        blocked = pallas_any(scene.clusters, o_ng, d_ng, t_ng)
-    elif backend == "list":
+    if backend == "list":
         from sycl_ray_tracing_tpu.ops.pallas.listtrace import (
             any_hit as list_any,
         )

@@ -64,6 +64,12 @@ class ClusterScene:
     p2_budget: int = dataclasses.field(default=0, metadata=dict(static=True))
     # max hit child-clusters per (ray, supercluster) pair; 0 = exact path
     fanout: int = dataclasses.field(default=0, metadata=dict(static=True))
+    # per-ray candidate-list depth override for the Pallas list tracer
+    # (0 = module defaults).  This is the list tracer's REAL escalation
+    # knob — main.py's overflow regrow doubles it (share-mode unions and
+    # the hier supercluster budget scale along, listtrace._run_once);
+    # p1/p2 budgets above only govern the XLA cluster tracer.
+    list_maxc: int = dataclasses.field(default=0, metadata=dict(static=True))
 
     @property
     def num_superclusters(self) -> int:
@@ -78,6 +84,9 @@ class ClusterScene:
 
     def with_fanout(self, f: int) -> "ClusterScene":
         return dataclasses.replace(self, fanout=f)
+
+    def with_list_maxc(self, maxc: int) -> "ClusterScene":
+        return dataclasses.replace(self, list_maxc=maxc)
 
 
 def sah_order(triangles: np.ndarray) -> np.ndarray | None:
@@ -569,7 +578,10 @@ def _extract_candidates(hit, tnear, maxc: int, k2: int):
 # shorter than min(true hit count, maxc) raises the overflow flag AND has
 # its certificate poisoned exactly like a true overflow.  Selected at runtime
 # so the TPU A/B (scratch/) can flip the default with evidence.
-EXTRACT_METHOD = "minrounds"
+# Default flipped to "topk" (round-4): the round-3 TPU A/B measured the
+# per-ray dragon frame at 1.34 (minrounds) vs 1.73 Mrays/s (topk)
+# (scratch/share_bench_r3.log); the count check keeps topk exact.
+EXTRACT_METHOD = "topk"
 
 
 def _extract_candidates_topk(hit, tnear, maxc: int, k2: int):
@@ -594,7 +606,15 @@ def _extract_candidates_topk(hit, tnear, maxc: int, k2: int):
     DEAD = jnp.int32(0x7F800000)                           # +inf: sorts last
     rem = jnp.where(hit, key, DEAD)
     kf = jax.lax.bitcast_convert_type(rem, jnp.float32)
-    vals, _idx = jax.lax.approx_min_k(kf, k=maxc)
+    # approx_min_k requires k <= the reduction dim; tiny scenes (or
+    # escalated maxc on few-cluster scenes) pad the tail slots with +inf
+    k = min(maxc, kf.shape[1])
+    vals, _idx = jax.lax.approx_min_k(kf, k=k)
+    if k < maxc:
+        inf = jax.lax.bitcast_convert_type(DEAD, jnp.float32)
+        vals = jnp.concatenate(
+            [vals, jnp.full((R, maxc - k), inf, jnp.float32)], axis=1
+        )
     # approx_min_k does NOT guarantee sorted output; nearest-first order is
     # load-bearing (kernel early-exit guard reads per-slot entry-t, and the
     # exactness certificate needs the LAST slot to be the row max).  A

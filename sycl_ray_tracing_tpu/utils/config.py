@@ -53,7 +53,7 @@ class RenderConfig:
 
     def __post_init__(self):
         if self.intersect not in ("auto", "brute", "bvh", "cluster",
-                                  "pallas", "list"):
+                                  "list"):
             raise ValueError(f"bad intersect mode {self.intersect!r}")
         if self.estimator not in ("shared", "parity"):
             raise ValueError(f"bad estimator {self.estimator!r}")

@@ -299,15 +299,18 @@ def test_topk_extraction_matches_minrounds():
     d = rng.normal(size=(B, 3)).astype(np.float32)
     d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True))
     tl = jnp.full((B,), 1e30, jnp.float32)
-    ref = C.candidate_clusters(cs, o, d, tl, 32)
+    saved = C.EXTRACT_METHOD
     try:
+        C.EXTRACT_METHOD = "minrounds"
+        ref = C.candidate_clusters(cs, o, d, tl, 32)
+        ref_h = C.candidate_clusters_hier(cs, o, d, tl, 32, maxs=16,
+                                          group=8)
         C.EXTRACT_METHOD = "topk"
         got = C.candidate_clusters(cs, o, d, tl, 32)
         got_h = C.candidate_clusters_hier(cs, o, d, tl, 32, maxs=16,
                                           group=8)
     finally:
-        C.EXTRACT_METHOD = "minrounds"
-    ref_h = C.candidate_clusters_hier(cs, o, d, tl, 32, maxs=16, group=8)
+        C.EXTRACT_METHOD = saved
     np.testing.assert_array_equal(np.asarray(ref[0]), np.asarray(got[0]))
     np.testing.assert_array_equal(np.asarray(ref[1]), np.asarray(got[1]))
     assert bool(ref[2]) == bool(got[2])

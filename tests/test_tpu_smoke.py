@@ -1,6 +1,6 @@
 """TPU-only Mosaic compile smoke tests (skipped off-TPU).
 
-The interpret-mode suites (test_pallas_listtrace.py, test_pallas_traverse.py)
+The interpret-mode suites (test_pallas_listtrace.py)
 pin kernel SEMANTICS on CPU; these tests close the "does the real kernel
 compile under Mosaic and agree" gap the moment a TPU is reachable —
 round 2 only exercised Mosaic compilation through bench runs, which the
@@ -49,21 +49,3 @@ def test_list_tracer_golden_rays_mosaic(cornell_scene, share):
     assert (np.asarray(t_m) >= BIG_T).all()
     assert (np.asarray(prim_m) < 0).all()
 
-
-@requires_tpu
-def test_traverse_kernel_golden_rays_mosaic(cornell_scene):
-    """Golden rays through the Mosaic-compiled block-traversal megakernel."""
-    from tests.test_golden_rays import _parse_golden_data
-
-    from sycl_ray_tracing_tpu.ops.cluster import BIG_T, build_clusters
-    from sycl_ray_tracing_tpu.ops.pallas.traverse import closest_hit
-
-    hit_rays, expected_pts, _miss = _parse_golden_data()
-    cs = build_clusters(np.asarray(cornell_scene.triangles))
-    t, _prim = jax.jit(lambda o, d: closest_hit(cs, o, d))(
-        jnp.asarray(hit_rays[:, :3]), jnp.asarray(hit_rays[:, 3:])
-    )
-    t = np.asarray(t)
-    assert (t < BIG_T).all()
-    pts = hit_rays[:, :3] + t[:, None] * hit_rays[:, 3:]
-    assert np.abs(pts - expected_pts).max() < 1e-5
