@@ -584,9 +584,19 @@ def _extract_candidates(hit, tnear, maxc: int, k2: int):
 EXTRACT_METHOD = "topk"
 
 
-def _extract_candidates_topk(hit, tnear, maxc: int, k2: int):
+def _extract_candidates_topk(hit, tnear, maxc: int, k2: int,
+                             exact: bool = False):
     """One-pass extraction via approx_min_k on the packed keys (see
-    _extract_candidates for the key layout and conservativeness notes)."""
+    _extract_candidates for the key layout and conservativeness notes).
+
+    ``exact=True`` requests recall_target=1.0 — the TPU PartialReduce
+    still runs one pass but aggregates exactly, at a small cost premium.
+    The ESCALATION passes need this: their whole purpose is to certify
+    rays the main pass could not, and a recall miss there would recur
+    forever (the count check would poison the same row again), leaving
+    frames flagged overflow with no remaining remedy.  Main passes keep
+    the cheaper default; their misses are caught by the count check and
+    healed by escalation."""
     R = hit.shape[0]
     assert k2 <= 65536
     id_bits = max(11, (k2 - 1).bit_length())
@@ -609,7 +619,9 @@ def _extract_candidates_topk(hit, tnear, maxc: int, k2: int):
     # approx_min_k requires k <= the reduction dim; tiny scenes (or
     # escalated maxc on few-cluster scenes) pad the tail slots with +inf
     k = min(maxc, kf.shape[1])
-    vals, _idx = jax.lax.approx_min_k(kf, k=k)
+    vals, _idx = jax.lax.approx_min_k(
+        kf, k=k, recall_target=1.0 if exact else 0.95
+    )
     if k < maxc:
         inf = jax.lax.bitcast_convert_type(DEAD, jnp.float32)
         vals = jnp.concatenate(
@@ -642,13 +654,15 @@ def _extract_candidates_topk(hit, tnear, maxc: int, k2: int):
     return cand, ctn, jnp.any(over)
 
 
-def _extract(hit, tnear, maxc, k2):
+def _extract(hit, tnear, maxc, k2, exact: bool = False):
     if EXTRACT_METHOD == "topk":
-        return _extract_candidates_topk(hit, tnear, maxc, k2)
+        return _extract_candidates_topk(hit, tnear, maxc, k2, exact=exact)
+    # threshold-min extraction is always exact
     return _extract_candidates(hit, tnear, maxc, k2)
 
 
-def candidate_clusters(scene: ClusterScene, ray_o, ray_d, t_lim, maxc: int):
+def candidate_clusters(scene: ClusterScene, ray_o, ray_d, t_lim, maxc: int,
+                       exact: bool = False):
     """Per-ray nearest-first candidate cluster lists (fixed ``maxc`` slots).
 
     Returns (cand [B,maxc] i32 cluster ids, -1 for empty slots;
@@ -657,15 +671,16 @@ def candidate_clusters(scene: ClusterScene, ray_o, ray_d, t_lim, maxc: int):
 
     This replaces the budgeted pair-expansion pipeline for the Pallas list
     tracer: a dense [B,K2] slab test + nearest-first extraction
-    (_extract: threshold-min rounds or TPU-native approx top-k).
+    (_extract: threshold-min rounds or TPU-native approx top-k;
+    ``exact=True`` forces full-recall extraction — escalation passes).
     """
     inv_d = _inv_dir(ray_d)
     hit, tnear = _dense_cluster_mask(scene, ray_o, inv_d, t_lim)   # [B,K2]
-    return _extract(hit, tnear, maxc, scene.num_clusters)
+    return _extract(hit, tnear, maxc, scene.num_clusters, exact=exact)
 
 
 def candidate_clusters_grouped(scene: ClusterScene, ray_o, ray_d, t_lim,
-                               maxc: int, group: int):
+                               maxc: int, group: int, exact: bool = False):
     """Per-GROUP (block of ``group`` consecutive rays) candidate lists: the
     union of the block's per-ray cluster hits, nearest-first by the BLOCK
     entry-t (min over the block's rays).  B must divide by ``group``.
@@ -690,12 +705,12 @@ def candidate_clusters_grouped(scene: ClusterScene, ray_o, ray_d, t_lim,
         .reshape(B // group, group, k2),
         axis=1,
     )
-    return _extract(hit_g, tn_g, maxc, k2)
+    return _extract(hit_g, tn_g, maxc, k2, exact=exact)
 
 
 def candidate_clusters_hier(scene: ClusterScene, ray_o, ray_d, t_lim,
                             maxc: int, maxs: int = 12, group: int = 8,
-                            grouped: bool = False):
+                            grouped: bool = False, exact: bool = False):
     """Per-ray nearest-first candidate lists via a SUPERCLUSTER prefilter.
     With ``grouped=True``, returns per-BLOCK union lists [B/group, maxc]
     instead (the block-shared kernel's contract), still over the
@@ -791,7 +806,8 @@ def candidate_clusters_hier(scene: ClusterScene, ray_o, ray_d, t_lim,
             .reshape(nb, group, C),
             axis=1,
         )
-        cand_l, ctn, of2 = _extract(hit_b, tn_b, maxc, C)         # [nb,maxc]
+        cand_l, ctn, of2 = _extract(hit_b, tn_b, maxc, C,
+                                    exact=exact)                  # [nb,maxc]
         slot = jnp.maximum(cand_l, 0)
         sc_g = jnp.take_along_axis(scand, slot // S, axis=1)      # [nb,maxc]
         cand = jnp.where(cand_l >= 0, sc_g * S + slot % S, -1)
@@ -800,7 +816,7 @@ def candidate_clusters_hier(scene: ClusterScene, ray_o, ray_d, t_lim,
         hit2 = hit2.reshape(B, C)
         tn2 = tnear.reshape(B, C)
         # 4: per-ray extraction in LOCAL slot ids, mapped back to global
-        cand_l, ctn, of2 = _extract(hit2, tn2, maxc, C)
+        cand_l, ctn, of2 = _extract(hit2, tn2, maxc, C, exact=exact)
         slot = jnp.maximum(cand_l, 0)
         blk = jnp.arange(B, dtype=jnp.int32) // group
         sc_g = scand.reshape(-1)[blk[:, None] * maxs + slot // S]  # [B,maxc]

@@ -44,12 +44,15 @@ and scratch/phase_bench.py):
     to (RB,T) ONCE per block, invalid candidate slots point at a
     never-hit dummy tile (index K2) instead of being masked, and the
     per-ray reduction happens in XLA on the kernel's (B,T) outputs.
-  * Early termination is ONE guard after the first ``GROUP`` rounds
-    (candidate entry-t is monotone per ray, so skipped work is provably
-    useless); finer-grained guards cost more than the rounds they save.
-    Any-hit rays carry a flag lane (rays[:,7]) so a blocked shadow ray
-    stops asking for tail rounds (reference shadow rays are cheap by
-    design, render_kernel.cpp:744-759).
+  * Early termination is ONE data-dependent guard after the first
+    ``GROUP`` rounds (candidate entry-t is monotone per ray, so skipped
+    work is provably useless); finer-grained ACCUMULATOR-dependent guards
+    cost more than the rounds they save, but the tail is additionally
+    cut into ``CHUNK``-round pieces gated on the block's candidate COUNT
+    — a scalar prefetched from SMEM, free of the pipeline serialization
+    (see _tail_guard).  Any-hit rays carry a flag lane (rays[:,7]) so a
+    blocked shadow ray stops asking for tail rounds (reference shadow
+    rays are cheap by design, render_kernel.cpp:744-759).
   * Dead paths (mask=False) get t_lim=-BIG -> empty candidate lists, and
     the ray sort pushes them into trailing all-dead blocks that exit at
     the guard.
@@ -89,6 +92,7 @@ DEFAULT_MAXC_SHARE = 96  # block-union slots: deep enough that the
                    # A/B: mc=96 beat mc=48 BECAUSE escalation shrank,
                    # scratch/frame_ab_r4.log)
 GROUP = 8          # unguarded leading rounds (see module docstring)
+CHUNK = 16         # tail rounds per scalar-count gate (see _tail_guard)
 HIER_MAXS = 16     # supercluster slots per block in the hierarchical build
 
 # Module default for the ``share`` mode of closest_hit/any_hit/multi_query
@@ -104,9 +108,15 @@ HIER_MAXS = 16     # supercluster slots per block in the hierarchical build
 LIST_SHARE_DEFAULT = True
 
 
-def _resolve_share(scene: ClusterScene, share) -> bool:
+def _resolve_share(scene: ClusterScene, share, maxc=None) -> bool:
     if share is not None:
         return bool(share)
+    if maxc is not None:
+        # a caller that PINNED maxc asked for per-ray lists of exactly
+        # that depth (the deterministic, certifiable contract — pinned
+        # calls also skip the escalation pass).  Block-union lists under
+        # a pinned depth would silently change what "maxc" bounds.
+        return False
     return bool(LIST_SHARE_DEFAULT)
 
 # VMEM cap for the resident triangle table; larger scenes fall back to the
@@ -161,15 +171,27 @@ def _mt8(ax, ay, az, bx, by, bz, cx, cy, cz, ox, oy, oz, dx, dy, dz, tl):
     return jnp.where(ok, t, BIG_T)
 
 
-def _tail_guard(at_ref, rays, ctn_first, maxc, round_fn):
-    """Single early-exit guard after the first GROUP rounds (shared by both
-    kernels).  Entry-t is monotone per list, so if no ray's remaining
-    candidates can beat its current best (min over lanes) the tail is
-    provably useless — and because the tail entry-ts ascend, comparing the
-    FIRST tail slot (``ctn_first``: (RB,1) for per-ray lists, scalar for a
-    shared list) is equivalent to comparing them all.  A ray with the
-    any-hit flag (rays[:,7] > 0) that is already blocked (best < its
-    t_lim) needs nothing more either.
+def _tail_guard(at_ref, rays, ctn_first, cnt, maxc, round_fn):
+    """Early-exit guards after the first GROUP rounds (shared by both
+    kernels).  Two nested mechanisms:
+
+    1. ONE data-dependent usefulness guard: entry-t is monotone per list,
+       so if no ray's remaining candidates can beat its current best (min
+       over lanes) the tail is provably useless — and because the tail
+       entry-ts ascend, comparing the FIRST tail slot (``ctn_first``:
+       (RB,1) for per-ray lists, scalar for a shared list) is equivalent
+       to comparing them all.  A ray with the any-hit flag (rays[:,7] > 0)
+       that is already blocked (best < its t_lim) needs nothing more
+       either.  This guard depends on the accumulator, so it costs the
+       full ~1.5us pl.when pipeline serialization — exactly once.
+    2. CHUNK-sized count gates: inside the tail, rounds come in chunks of
+       CHUNK, each gated on ``cnt`` (the block's candidate COUNT, a
+       scalar prefetched from SMEM that does not depend on any in-kernel
+       value) — blocks whose list is half-empty skip the dummy-slot
+       rounds entirely instead of intersecting the never-hit tile
+       maxc - count times.  Measured: a scalar-operand pl.when avoids the
+       accumulator-dependency serialization of mechanism 1
+       (scratch/chunk_bench_r4.py).
 
     Poisoned-last-slot exception: topk recall misses and hier SC-overflow
     set the LAST ctn slot to -BIG_T (not any earlier tail slot), so the
@@ -177,9 +199,12 @@ def _tail_guard(at_ref, rays, ctn_first, maxc, round_fn):
     (ctn_first is slot GROUP, and maxc > GROUP here).  Such rows may skip
     tail rounds the pre-round-3 whole-tail guard always ran — safe,
     because they are already flagged overflow and certificate-unresolved,
-    so nothing downstream trusts their result.  If extraction ever poisons
-    a non-last slot, or maxc shrinks to GROUP+1 with poisoning moved
-    earlier, revisit this guard."""
+    so nothing downstream trusts their result.  The count gate may also
+    skip a poisoned last slot whose preceding slots are empty (a "short"
+    topk row: count < maxc but slot maxc-1 rewritten to cluster 0) — same
+    story: that slot is a harmless re-test on an already-unresolved row.
+    If extraction ever poisons a non-last slot, or maxc shrinks to
+    GROUP+1 with poisoning moved earlier, revisit this guard."""
     bt = jnp.min(at_ref[:], axis=1, keepdims=True)       # (RB,1)
     useful = ctn_first < bt
     ah_done = (rays[:, 7:8] > 0.0) & (bt < rays[:, 6:7])
@@ -187,16 +212,22 @@ def _tail_guard(at_ref, rays, ctn_first, maxc, round_fn):
 
     @pl.when(jnp.any(useful))
     def _tail():
-        for r in range(GROUP, maxc):
-            round_fn(r)
+        for c0 in range(GROUP, maxc, CHUNK):
+            @pl.when(cnt > c0)
+            def _chunk(c0=c0):
+                for r in range(c0, min(c0 + CHUNK, maxc)):
+                    round_fn(r)
 
 
 def _list_kernel_impl(cand_s, ctn_ref, rays_ref, tris_ref,
-                      at_ref, ar_ref, stk_ref, *, maxc):
+                      at_ref, ar_ref, stk_ref, *, maxc, interpret=False):
     """One 8-ray block over its PER-RAY candidate lists.
 
-    cand_s:  (RB, maxc) i32 SMEM  candidate cluster per (ray, round);
-                                  empty slots carry the DUMMY id K2
+    cand_s:  (RB, maxc+1) i32 SMEM  candidate cluster per (ray, round);
+                                  empty slots carry the DUMMY id K2;
+                                  column maxc = the block's MAX candidate
+                                  count (same value in every row) gating
+                                  the tail chunks
     ctn_ref: (RB, maxc) f32 VMEM  candidate entry-t (BIG_T empty)
     rays_ref:(RB, 8)    f32 VMEM  o3 d3 t_lim anyhit_flag
     tris_ref:(K2+1,9,T) f32 VMEM  resident triangle tiles + dummy row K2
@@ -222,24 +253,38 @@ def _list_kernel_impl(cand_s, ctn_ref, rays_ref, tris_ref,
         at_ref[:] = jnp.where(upd, t, at_ref[:])
         ar_ref[:] = jnp.where(upd, jnp.int32(r), ar_ref[:])
 
+    if interpret:
+        # interpret mode (CPU tests): a fori_loop keeps the traced graph
+        # O(1) in maxc — the unrolled form below compiles ~maxc*RB*9
+        # interpreter ops PER BUCKET BRANCH, which made escalation-enabled
+        # test runs minutes-per-test.  Guards are skipped: dummy rounds
+        # are harmless, outputs are identical.
+        jax.lax.fori_loop(
+            0, maxc, lambda r, c: (_round(r), c)[1], 0
+        )
+        return
+
     for r in range(min(GROUP, maxc)):
         _round(r)
 
     if maxc > GROUP:
-        _tail_guard(at_ref, rays, ctn_ref[:, GROUP:GROUP + 1], maxc, _round)
+        _tail_guard(at_ref, rays, ctn_ref[:, GROUP:GROUP + 1],
+                    cand_s[0, maxc], maxc, _round)
 
 
 def _block_kernel_impl(cand_s, ctn_s, rays_ref, tris_ref,
-                       at_ref, ar_ref, *, maxc, rb):
+                       at_ref, ar_ref, *, maxc, rb, interpret=False):
     """One ``rb``-ray block over its SHARED candidate list.
 
-    cand_s:  (8, maxc)  i32 SMEM  candidate clusters for 8 CONSECUTIVE
+    cand_s:  (8, maxc+1) i32 SMEM candidate clusters for 8 CONSECUTIVE
                                   blocks (DUMMY=K2 empty); this block reads
                                   row program_id % 8.  Mosaic requires
                                   sublane-dim block sizes divisible by 8,
                                   so single-row blocks are fetched in
                                   8-row granularity (a few hundred SMEM
-                                  bytes — refetching is free).
+                                  bytes — refetching is free).  Column
+                                  maxc = the block's candidate count
+                                  gating the tail chunks.
     ctn_s:   (8, maxc)  f32 SMEM  entry-t, same 8-row layout (BIG_T empty)
     rays_ref:(rb, 8)    f32 VMEM  o3 d3 t_lim anyhit_flag
     tris_ref:(K2+1,9,T) f32 VMEM  resident triangle tiles + dummy row K2
@@ -269,11 +314,19 @@ def _block_kernel_impl(cand_s, ctn_s, rays_ref, tris_ref,
         at_ref[:] = jnp.where(upd, t, at_ref[:])
         ar_ref[:] = jnp.where(upd, jnp.int32(r), ar_ref[:])
 
+    if interpret:
+        # O(1)-trace interpret form; see _list_kernel_impl
+        jax.lax.fori_loop(
+            0, maxc, lambda r, c: (_round(r), c)[1], 0
+        )
+        return
+
     for r in range(min(GROUP, maxc)):
         _round(r)
 
     if maxc > GROUP:
-        _tail_guard(at_ref, rays, ctn_s[row, GROUP], maxc, _round)
+        _tail_guard(at_ref, rays, ctn_s[row, GROUP],
+                    cand_s[row, maxc], maxc, _round)
 
 
 def _ray_sort_key(scene: ClusterScene, ray_o, ray_d):
@@ -306,8 +359,9 @@ def _ray_sort_key(scene: ClusterScene, ray_o, ray_d):
 
 
 def _run_once(scene: ClusterScene, ray_o, ray_d, t_lim, maxc, any_hit,
-              sort=True, mask=None, share=False, bucket_divs=(64, 16, 4),
-              force_dense=False):
+              sort=True, mask=None, share=False,
+              bucket_divs=(64, 32, 16, 8, 4, 2), force_dense=False,
+              exact=False):
     """ONE candidate-list build (XLA) + list kernel + XLA reduction tail.
     Returns (t [B], packed winner cluster*T+lane [B] (-1 miss), resolved,
     overflow).  ``overflow`` here is the RAW extraction overflow (some
@@ -323,7 +377,7 @@ def _run_once(scene: ClusterScene, ray_o, ray_d, t_lim, maxc, any_hit,
     build yields empty lists (tnear < t_lim never holds), and the sort key
     pushes them behind every live ray.  The launch is then BUCKETED: the
     candidate build and the kernel grid run only over the first
-    {1/8, 1/4, 1/2, 1} of blocks — the smallest bucket covering all live
+    {1/64, 1/32, ..., 1/2, 1} of blocks — the smallest bucket covering all live
     rays — selected at runtime with lax.switch.  That makes the whole
     sweep cost scale with the live fraction (a fixed-grid kernel has a
     ~30ms floor at 32k rays no matter how many lanes are dead; measured
@@ -386,11 +440,13 @@ def _run_once(scene: ClusterScene, ray_o, ray_d, t_lim, maxc, any_hit,
         ],
         axis=0,
     )
-    if share:
-        kernel = functools.partial(_block_kernel_impl, maxc=maxc, rb=rb)
-    else:
-        kernel = functools.partial(_list_kernel_impl, maxc=maxc)
     interpret = jax.default_backend() != "tpu"
+    if share:
+        kernel = functools.partial(_block_kernel_impl, maxc=maxc, rb=rb,
+                                   interpret=interpret)
+    else:
+        kernel = functools.partial(_list_kernel_impl, maxc=maxc,
+                                   interpret=interpret)
 
     # supercluster budget for the hierarchical prefilter scales with maxc
     # so one escalation knob (maxc, see main.py's overflow regrow) deepens
@@ -409,11 +465,12 @@ def _run_once(scene: ClusterScene, ray_o, ray_d, t_lim, maxc, any_hit,
         if share and big:
             cand, ctn, overflow = candidate_clusters_hier(
                 scene, rg[:, 0:3], rg[:, 3:6], rg[:, 6], maxc,
-                maxs=maxs, group=rb, grouped=True,
+                maxs=maxs, group=rb, grouped=True, exact=exact,
             )                                             # (g, maxc)
         elif share:
             cand, ctn, overflow = candidate_clusters_grouped(
-                scene, rg[:, 0:3], rg[:, 3:6], rg[:, 6], maxc, rb
+                scene, rg[:, 0:3], rg[:, 3:6], rg[:, 6], maxc, rb,
+                exact=exact,
             )                                             # (g, maxc)
         elif big:
             # supercluster-prefiltered build (only where the column cut is
@@ -422,30 +479,42 @@ def _run_once(scene: ClusterScene, ray_o, ray_d, t_lim, maxc, any_hit,
             # sweep at flagship scale (870k tris: 6784 -> 1024 columns)
             cand, ctn, overflow = candidate_clusters_hier(
                 scene, rg[:, 0:3], rg[:, 3:6], rg[:, 6], maxc,
-                maxs=maxs, group=rb,
+                maxs=maxs, group=rb, exact=exact,
             )                                             # (gRB, maxc)
         else:
             cand, ctn, overflow = candidate_clusters(
-                scene, rg[:, 0:3], rg[:, 3:6], rg[:, 6], maxc
+                scene, rg[:, 0:3], rg[:, 3:6], rg[:, 6], maxc,
+                exact=exact,
             )                                             # (gRB, maxc)
         cand_k = jnp.where(cand >= 0, cand, k2)  # empty slot -> dummy
         ctn_k = ctn
+        # per-block candidate COUNT, appended as SMEM column maxc: gates
+        # the kernel's tail chunks so half-empty lists skip their dummy
+        # rounds (see _tail_guard).  Counts the poisoned last slot too
+        # (harmless — see the poisoned-last-slot note in _tail_guard).
+        cnt = jnp.sum(cand >= 0, axis=1, dtype=jnp.int32)
+        if not share:
+            # per-ray lists: the gate is per BLOCK of RB rays -> block max
+            cnt = jnp.repeat(cnt.reshape(-1, RB).max(axis=1), RB, axis=0)
+        cand_k = jnp.concatenate([cand_k, cnt[:, None]], axis=1)
         if share:
             # Mosaic sublane rule: block rows must be divisible by 8, so
             # the per-block (1, maxc) rows ship in 8-row granules — pad
             # the row count and index row program_id%8 inside the kernel
             gpad = -g % 8
             if gpad:
-                cand_k = jnp.concatenate(
-                    [cand_k, jnp.full((gpad, maxc), k2, jnp.int32)], 0)
+                pad_rows = jnp.concatenate(
+                    [jnp.full((gpad, maxc), k2, jnp.int32),
+                     jnp.zeros((gpad, 1), jnp.int32)], axis=1)
+                cand_k = jnp.concatenate([cand_k, pad_rows], 0)
                 ctn_k = jnp.concatenate(
                     [ctn_k, jnp.full((gpad, maxc), BIG_T, jnp.float32)], 0)
-            cand_spec = pl.BlockSpec((8, maxc), lambda b: (b // 8, 0),
+            cand_spec = pl.BlockSpec((8, maxc + 1), lambda b: (b // 8, 0),
                                      memory_space=pltpu.SMEM)
             ctn_spec = pl.BlockSpec((8, maxc), lambda b: (b // 8, 0),
                                     memory_space=pltpu.SMEM)
         else:
-            cand_spec = pl.BlockSpec((RB, maxc), lambda b: (b, 0),
+            cand_spec = pl.BlockSpec((RB, maxc + 1), lambda b: (b, 0),
                                      memory_space=pltpu.SMEM)
             ctn_spec = pl.BlockSpec((RB, maxc), lambda b: (b, 0),
                                     memory_space=pltpu.VMEM)
@@ -605,17 +674,45 @@ def _run(scene: ClusterScene, ray_o, ray_d, t_lim, maxc, any_hit,
         ah = jnp.full((B,), any_hit, bool)
     else:
         ah = any_hit
+    # the MAIN pass of an escalate-enabled run may use approximate topk
+    # extraction (recall misses are poisoned and healed by the escalation
+    # pass); callers that PINNED maxc get exact extraction — there is no
+    # second pass to heal a miss, and a pinned-deep-maxc caller asked for
+    # deterministic coverage (tests rely on this contract)
     t, packed, resolved, _raw = _run_once(
         scene, ray_o, ray_d, t_lim, maxc, any_hit, sort=sort, mask=mask,
-        share=share,
+        share=share, exact=not escalate,
     )
     if escalate and (share or maxc < 128):
         redo = live & ~_certain(ah, packed, resolved)
-        maxc2 = maxc if share else min(128, 2 * maxc)
-        t2, p2, r2, _raw2 = _run_once(
-            scene, ray_o, ray_d, t_lim, maxc2, any_hit, sort=sort,
-            mask=redo, share=False, force_dense=True,
-        )
+        maxc2 = min(128, 2 * maxc)
+
+        def _esc(redo):
+            # full-recall extraction: an approx recall miss here would
+            # poison the same row again and leave it permanently
+            # uncertifiable (the 870k flagship's residual overflow=True
+            # came exactly from this)
+            t2, p2, r2, _raw2 = _run_once(
+                scene, ray_o, ray_d, t_lim, maxc2, any_hit, sort=sort,
+                mask=redo, share=False, force_dense=True, exact=True,
+            )
+            return t2, p2, r2
+
+        if jax.default_backend() == "tpu":
+            # skip the WHOLE escalation sweep (full-batch pack + sort +
+            # permute + bucketed build/kernel, ~2-4 ms of glue even at the
+            # smallest bucket) on launches where every ray certified —
+            # most bounces of a sorted render wavefront (the uncertified
+            # fraction at the shipped maxc is ~0-1%, scratch/redo_stats).
+            # The pass-through branch returns the main pass's own arrays;
+            # the merge below is the identity when redo is all-False.
+            t2, p2, r2 = jax.lax.cond(
+                jnp.any(redo), _esc, lambda _: (t, packed, resolved), redo
+            )
+        else:
+            # interpret mode: an extra lax.cond would double the CPU-side
+            # interpreter kernel compiles (see the bucket note above)
+            t2, p2, r2 = _esc(redo)
         # a certified per-ray answer IS the true closest hit (or true
         # miss), so it replaces the union answer outright: both passes
         # only ever report REAL hits (cluster boxes bound their
@@ -664,7 +761,7 @@ def closest_hit(scene: ClusterScene, ray_o, ray_d,
             f"scene too large for the VMEM list tracer "
             f"({scene.num_clusters} clusters); use the XLA cluster tracer"
         )
-    share = _resolve_share(scene, share)
+    share = _resolve_share(scene, share, maxc)
     escalate = maxc is None
     maxc = _default_maxc(share, scene) if maxc is None else maxc
     B = ray_o.shape[0]
@@ -691,7 +788,7 @@ def any_hit(scene: ClusterScene, ray_o, ray_d, t_max,
     reported unblocked at ~zero cost (see _run_once)."""
     if not fits_in_vmem(scene):
         raise ValueError("scene too large for the VMEM list tracer")
-    share = _resolve_share(scene, share)
+    share = _resolve_share(scene, share, maxc)
     escalate = maxc is None
     maxc = _default_maxc(share, scene) if maxc is None else maxc
     t, packed, _resolved, overflow = _run(
@@ -737,7 +834,7 @@ def multi_query(scene: ClusterScene, queries,
     """
     if not fits_in_vmem(scene):
         raise ValueError("scene too large for the VMEM list tracer")
-    share = _resolve_share(scene, share)
+    share = _resolve_share(scene, share, maxc)
     escalate = maxc is None
     maxc = _default_maxc(share, scene) if maxc is None else maxc
     os_, ds_, tls, masks, ahs = [], [], [], [], []
