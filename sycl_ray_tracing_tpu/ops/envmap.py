@@ -3,10 +3,13 @@
 Capability parity with the reference:
   * direction -> lat/long texel lookup (render_kernel.cpp:520-530)
   * flat luminance prefix-sum CDF over all texels (utils.cpp:126-142)
-  * CDF inversion by binary search (render_kernel.cpp:532-567) — here a
-    *separable* row/column CDF inverted with ``jnp.searchsorted``, the
-    standard formulation (the reference's flat-CDF row search via the last
-    column is an approximation of the same marginal; SURVEY.md §7.5)
+  * CDF inversion (render_kernel.cpp:532-567) — here a *separable*
+    row/column CDF inverted by DENSE compare-and-count against the
+    VMEM-resident tables (exactly searchsorted side="right", but one
+    fused VPU reduction instead of a log2(H)-step binary search whose
+    every step is a full gather pass; the reference's flat-CDF row search
+    via the last column is an approximation of the same marginal;
+    SURVEY.md §7.5)
   * pdf = (lum/total) * W*H / (2 pi^2 sin(theta)) (render_kernel.cpp:594-595)
 
 The sampled-direction convention matches the reference exactly
@@ -102,11 +105,29 @@ def sample(sampler: EnvMapSampler, u_row, u_col):
     """
     h, w = sampler.image.shape[0], sampler.image.shape[1]
 
-    y = jnp.searchsorted(sampler.row_cdf, u_row * sampler.total, side="right")
+    # Dense compare-and-count instead of jnp.searchsorted: XLA lowers
+    # searchsorted to a log2(H)-step unrolled binary search, each step a
+    # full gather pass over the batch (~10ns/row on this TPU — measured
+    # 2.7 ms/bounce on the dragon frame, the single largest op family in
+    # the round-4 profile, scratch/profile_frame2.py).  The [B,H]
+    # broadcast compare against the VMEM-resident [H] table fuses into
+    # one VPU reduction (~50us) and is exactly searchsorted(side="right").
+    y = jnp.sum(
+        sampler.row_cdf <= (u_row * sampler.total)[..., None], axis=-1
+    ).astype(jnp.int32)
     y = jnp.clip(y, 0, h - 1)
 
-    row_lo = jnp.where(y > 0, sampler.row_cdf[y - 1], 0.0)
-    row_sum = jnp.maximum(sampler.row_cdf[y] - row_lo, 1e-12)
+    # ONE [H,2] pair-row gather for (cdf[y-1], cdf[y]): gathers cost
+    # ~10ns per ROW regardless of width, so the packed pair halves the
+    # per-launch gather passes vs two scalar gathers
+    pairs = jnp.stack(
+        [jnp.concatenate([jnp.zeros((1,), sampler.row_cdf.dtype),
+                          sampler.row_cdf[:-1]]),
+         sampler.row_cdf], axis=1,
+    )                                                   # [H,2]
+    pr = pairs[y]
+    row_lo = pr[..., 0]
+    row_sum = jnp.maximum(pr[..., 1] - row_lo, 1e-12)
     cond = sampler.cond_cdf[y]                       # [...,W]
     x = _searchsorted_rows(cond, u_col * row_sum)
     x = jnp.clip(x, 0, w - 1)
