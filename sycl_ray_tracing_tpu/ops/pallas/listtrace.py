@@ -678,12 +678,17 @@ def _run(scene: ClusterScene, ray_o, ray_d, t_lim, maxc, any_hit,
     # extraction (recall misses are poisoned and healed by the escalation
     # pass); callers that PINNED maxc get exact extraction — there is no
     # second pass to heal a miss, and a pinned-deep-maxc caller asked for
-    # deterministic coverage (tests rely on this contract)
+    # deterministic coverage (tests rely on this contract).  The predicate
+    # is computed ONCE: a per-ray run already at the 128-slot cap has no
+    # escalation pass either, so its main pass must be exact too (ADVICE
+    # r4: escalate=True, share=False, maxc==128 would otherwise leave
+    # topk recall misses permanently poisoned).
+    will_escalate = escalate and (share or maxc < 128)
     t, packed, resolved, _raw = _run_once(
         scene, ray_o, ray_d, t_lim, maxc, any_hit, sort=sort, mask=mask,
-        share=share, exact=not escalate,
+        share=share, exact=not will_escalate,
     )
-    if escalate and (share or maxc < 128):
+    if will_escalate:
         redo = live & ~_certain(ah, packed, resolved)
         maxc2 = min(128, 2 * maxc)
 
@@ -755,7 +760,13 @@ def closest_hit(scene: ClusterScene, ray_o, ray_d,
     ``with_resolved=True`` appends the per-ray exactness certificate: a
     resolved ray's answer is provably the true closest hit (its best t is
     at or below the last candidate's entry-t, so no dropped cluster could
-    hold a nearer hit)."""
+    hold a nearer hit).
+
+    Pinning ``maxc`` selects the deterministic contract: PER-RAY lists of
+    exactly that depth, exact (full-recall) extraction, and NO escalation
+    pass — what you bound is what runs.  ``maxc=None`` (the default)
+    selects the adaptive contract: block-shared lists at the module
+    default depth plus a per-ray escalation pass over uncertified rays."""
     if not fits_in_vmem(scene):
         raise ValueError(
             f"scene too large for the VMEM list tracer "
@@ -785,7 +796,9 @@ def any_hit(scene: ClusterScene, ray_o, ray_d, t_max,
     Returns (blocked [B] bool, overflow) — overflow is the honest flag
     (see closest_hit); a blocked ray is always certain, so only unblocked
     uncertified rays can raise it.  ``mask``: False lanes are dead rays,
-    reported unblocked at ~zero cost (see _run_once)."""
+    reported unblocked at ~zero cost (see _run_once).  Pinning ``maxc``
+    selects per-ray lists + exact extraction + no escalation (see
+    closest_hit)."""
     if not fits_in_vmem(scene):
         raise ValueError("scene too large for the VMEM list tracer")
     share = _resolve_share(scene, share, maxc)
@@ -831,6 +844,8 @@ def multi_query(scene: ClusterScene, queries,
     SHADOW_EPS slack.  Queries flagged any_hit=True get the early-exit
     guard (their t/packed still answer "blocked below t_lim" exactly, but
     t may not be the true closest once blocked — don't read it as one).
+    Pinning ``maxc`` selects per-ray lists + exact extraction + no
+    escalation (see closest_hit).
     """
     if not fits_in_vmem(scene):
         raise ValueError("scene too large for the VMEM list tracer")
