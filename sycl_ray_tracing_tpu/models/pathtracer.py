@@ -42,6 +42,7 @@ from sycl_ray_tracing_tpu.ops.brdf import (
 )
 from sycl_ray_tracing_tpu.ops.intersect import (
     Hit,
+    finalize_hit,
     intersect_spheres,
     intersect_triangles,
     merge_hits,
@@ -527,16 +528,73 @@ def trace_shared(scene: Scene, ray_o, ray_d, key, bounces: int,
         [mats.emission, mats.diffuse, mats.metalness[:, None],
          mats.roughness[:, None]], axis=1
     )                                                    # [M,8]
-    # per-primitive material rows (triangles, then spheres)
-    prim_rows = mat_packed[scene.material_indices]       # [N,8]
-    if scene.num_spheres > 0:
-        prim_rows = jnp.concatenate(
-            [prim_rows, mat_packed[scene.sphere_material]], axis=0
-        )
 
-    def lookup_prim(prim):
-        rows = prim_rows[jnp.clip(prim, 0, prim_rows.shape[0] - 1)]
-        return rows[:, 0:3], rows[:, 3:6], rows[:, 6], rows[:, 7]
+    # SLOT SHADING (list backend): hits come back as packed (cluster, lane)
+    # winners, so material/area resolution goes through [K2,128] tables
+    # ALIGNED with the kernel's slot layout — ~800 KB, VMEM-resident like
+    # cl_tri_idx.  The per-PRIMITIVE [N,8]/[N,4] tables they replace cost
+    # up to 0.5 ms/launch when XLA leaves them in HBM (r5 profile,
+    # scratch/profile_r5_noesc.log: 63.6 ms/frame of the dragon budget).
+    # The material id rides in bits 20..30 of the tri-index word: ONE
+    # gather resolves prim AND material (reference resolves material via
+    # hit_info.primitive_index, render_kernel.cpp:109-111 — capability
+    # parity, TPU-first layout).
+    fuse = (backend == "list" and scene.clusters is not None
+            and mats.count <= (1 << 11))
+    if fuse:
+        from sycl_ray_tracing_tpu.ops.pallas.listtrace import multi_query
+
+        cs = scene.clusters
+        if scene.slot_table is not None:
+            slot_table = scene.slot_table
+        else:
+            idx = cs.cl_tri_idx.reshape(-1)
+            vs = idx >= 0
+            ci = jnp.clip(idx, 0, n_tris - 1)
+            matid = scene.material_indices[ci]
+            sp = jnp.where(vs, idx, 0) | (jnp.where(vs, matid, 0) << 20)
+            areas0 = scene.tri_areas
+            if areas0 is None:
+                from sycl_ray_tracing_tpu.ops.sampling import triangle_area
+
+                areas0 = triangle_area(scene.triangles)
+            sa = jnp.where(vs, areas0[ci], 0.0)
+            slot_table = jnp.stack(
+                [sp, jax.lax.bitcast_convert_type(sa, jnp.int32)], axis=1
+            )
+
+        # [K2,T,2] view: XLA gives [K2,128]-leading-dim tables the VMEM
+        # copy-in treatment (measured 0.26 vs 0.50 ms/launch for the same
+        # gather against the flat [K2*T,2] layout, scratch/profile_r5_*)
+        _T = cs.cl_tri_idx.shape[1]
+        slot3 = slot_table.reshape(-1, _T, 2)
+
+        def slot_lookup(packed):
+            """packed winner -> (prim, material id, area): ONE row-gather
+            of the [K2,T,2] slot table (packed = cluster*T + lane)."""
+            win = jnp.maximum(packed, 0)
+            rows = slot3[win // _T, win % _T]
+            sp = rows[:, 0]
+            prim = jnp.where(packed >= 0, sp & 0xFFFFF, -1)
+            area = jax.lax.bitcast_convert_type(rows[:, 1], jnp.float32)
+            return prim, sp >> 20, area
+
+        def sphere_merge_mid(tri_hit, tri_mid, s_hit):
+            smid = scene.sphere_material[
+                jnp.clip(s_hit.prim - n_tris, 0, scene.num_spheres - 1)
+            ]
+            return jnp.where(tri_hit.t <= s_hit.t, tri_mid, smid)
+    else:
+        # per-primitive material rows (triangles, then spheres)
+        prim_rows = mat_packed[scene.material_indices]       # [N,8]
+        if scene.num_spheres > 0:
+            prim_rows = jnp.concatenate(
+                [prim_rows, mat_packed[scene.sphere_material]], axis=0
+            )
+
+        def lookup_prim(prim):
+            rows = prim_rows[jnp.clip(prim, 0, prim_rows.shape[0] - 1)]
+            return rows[:, 0:3], rows[:, 3:6], rows[:, 6], rows[:, 7]
 
     if num_lights > 0:
         # light rows: 9 vertex floats + 3 emission floats
@@ -549,43 +607,65 @@ def trace_shared(scene: Scene, ray_o, ray_d, key, bounces: int,
             ],
             axis=1,
         )                                                # [K,12]
-        areas = scene.tri_areas
-        if areas is None:
-            from sycl_ray_tracing_tpu.ops.sampling import triangle_area
+        if not fuse:
+            areas = scene.tri_areas
+            if areas is None:
+                from sycl_ray_tracing_tpu.ops.sampling import triangle_area
 
-            areas = triangle_area(scene.triangles)
-        # emitter rows for the MIS brdf term: emission3 + area1
-        emitter_rows = jnp.concatenate(
-            [mats.emission[scene.material_indices], areas[:, None]], axis=1
-        )                                                # [N,4]
+                areas = triangle_area(scene.triangles)
+            # emitter rows for the MIS brdf term: emission3 + area1
+            emitter_rows = jnp.concatenate(
+                [mats.emission[scene.material_indices], areas[:, None]],
+                axis=1,
+            )                                            # [N,4]
 
     of0 = []
     # primaries are COHERENT (dense pixel bundles): the block-shared list
     # kernel amortizes each candidate tile load over the whole block there,
     # where measured unions stay near the per-ray list size (unlike bounce
     # rays — docs/ARCHITECTURE.md 2c).  Flag for the TPU A/B.
-    hit0 = intersect_scene(scene, ray_o, ray_d, backend, of0,
-                           list_share=PRIMARY_SHARE)
+    mid0 = jnp.zeros((B,), jnp.int32)
+    if fuse:
+        res0, ovf0 = multi_query(
+            cs, [(ray_o, ray_d, None, None, False)], share=PRIMARY_SHARE
+        )
+        of0.append(ovf0)
+        prim0, mid0, _ = slot_lookup(res0[0][1])
+        hit0 = finalize_hit(ray_o, ray_d, scene.triangles, prim0)
+        if scene.num_spheres > 0:
+            sphere_prim = n_tris + jnp.arange(scene.num_spheres,
+                                              dtype=jnp.int32)
+            s0 = intersect_spheres(
+                ray_o, ray_d, scene.sphere_centers, scene.sphere_radii,
+                sphere_prim,
+            )
+            mid0 = sphere_merge_mid(hit0, mid0, s0)
+            hit0 = merge_hits(hit0, s0)
+    else:
+        hit0 = intersect_scene(scene, ray_o, ray_d, backend, of0,
+                               list_share=PRIMARY_SHARE)
 
     def bounce_body(carry, bounce):
-        ray_o, ray_d, hit, throughput, radiance, alive, overflow = carry
+        ray_o, ray_d, hit, mid, throughput, radiance, alive, overflow = carry
         of = []
         live_hit = alive & hit.hit
 
-        emission, diffuse, metal, rough = lookup_prim(hit.prim)
+        if fuse:
+            rows = mat_packed[mid]                       # tiny-table gather
+            emission, diffuse, metal, rough = (
+                rows[:, 0:3], rows[:, 3:6], rows[:, 6], rows[:, 7]
+            )
+        else:
+            emission, diffuse, metal, rough = lookup_prim(hit.prim)
         view = -ray_d
 
-        # emission only on primary hits (reference :126-127)
+        # emission only on primary hits (reference :126-127).  The
+        # primary-miss env lookup (:146-158) is HOISTED out of the scan —
+        # it only fires at bounce 0, so it seeds the radiance init instead
+        # of costing a [B] texel gather every bounce.
         radiance = radiance + jnp.where(
             (live_hit & (bounce == 0))[..., None], emission, 0.0
         )
-        # env on miss, primary rays only (reference :146-158)
-        if has_env:
-            sky = env_ops.eval_direction(scene.env_map.image, ray_d)
-            miss_primary = alive & (~hit.hit) & (bounce == 0)
-            radiance = radiance + jnp.where(
-                miss_primary[..., None], sky * throughput, 0.0
-            )
 
         origin = hit.point + hit.normal * RAY_OFFSET
 
@@ -634,15 +714,9 @@ def trace_shared(scene: Scene, ray_o, ray_d, key, bounces: int,
             cos_e = dot(hit.normal, wi_e)
             env_mask = live_hit & (cos_e > 0.0)
 
-        fuse = backend == "list" and scene.clusters is not None
         if fuse:
             from sycl_ray_tracing_tpu.ops.cluster import (
                 SHADOW_EPS as _SH_EPS,
-            )
-            from sycl_ray_tracing_tpu.ops.intersect import finalize_hit
-            from sycl_ray_tracing_tpu.ops.pallas.listtrace import (
-                multi_query,
-                packed_to_prim,
             )
 
             # shadow queries are flagged any-hit: the kernel's tail guard
@@ -657,7 +731,7 @@ def trace_shared(scene: Scene, ray_o, ray_d, key, bounces: int,
                 queries.append((origin, wi_e, None, env_mask, True))
             res, ovf = multi_query(scene.clusters, queries)
             of.append(ovf)
-            _, prim_c = packed_to_prim(scene.clusters, *res[0])
+            prim_c, mid2, area2 = slot_lookup(res[0][1])
             h2 = finalize_hit(origin, wi_s, scene.triangles, prim_c)
             if num_lights > 0:
                 shadowed = res[1][1] >= 0
@@ -667,13 +741,13 @@ def trace_shared(scene: Scene, ray_o, ray_d, key, bounces: int,
                 # merge brute-force sphere hits/occlusion, exactly like
                 # the unfused dispatch (reference intersect_scene's sphere
                 # loop, render_kernel.cpp:485-502)
-                n = scene.num_triangles
-                sphere_prim = n + jnp.arange(scene.num_spheres,
-                                             dtype=jnp.int32)
+                sphere_prim = n_tris + jnp.arange(scene.num_spheres,
+                                                  dtype=jnp.int32)
                 s_hit = intersect_spheres(
                     origin, wi_s, scene.sphere_centers,
                     scene.sphere_radii, sphere_prim,
                 )
+                mid2 = sphere_merge_mid(h2, mid2, s_hit)
                 h2 = merge_hits(h2, s_hit)
                 if num_lights > 0:
                     shadowed = _merge_sphere_occlusion(
@@ -689,6 +763,7 @@ def trace_shared(scene: Scene, ray_o, ray_d, key, bounces: int,
                         jnp.full((B,), _BIG, origin.dtype), blocked,
                     )
         else:
+            mid2 = mid
             h2 = intersect_scene(scene, origin, wi_s, backend, of,
                                  mask=cont_ok)  # closest-hit #1
             if num_lights > 0:
@@ -719,9 +794,15 @@ def trace_shared(scene: Scene, ray_o, ray_d, key, bounces: int,
             )
 
             # --- light NEE: brdf-sample term via the SHARED sample/h2 ---
-            er = emitter_rows[jnp.clip(h2.prim, 0, n_tris - 1)]  # ONE gather
-            hit_emission = er[:, 0:3]
-            light_area2 = er[:, 3]
+            if fuse:
+                # slot tables already resolved emission/area with the
+                # [K2,T] VMEM gathers above (mid2/area2)
+                hit_emission = mat_packed[mid2][:, 0:3]
+                light_area2 = area2
+            else:
+                er = emitter_rows[jnp.clip(h2.prim, 0, n_tris - 1)]
+                hit_emission = er[:, 0:3]
+                light_area2 = er[:, 3]
             cos_at_light = jnp.maximum(0.0, dot(h2.normal, -wi_s))
             is_emitter = jnp.any(hit_emission > 0.0, axis=-1) & (
                 h2.prim < n_tris
@@ -793,17 +874,26 @@ def trace_shared(scene: Scene, ray_o, ray_d, key, bounces: int,
         alive = ok_c
         for f in of:
             overflow = overflow | f
-        return (ray_o, ray_d, h2, throughput, radiance, alive, overflow), None
+        return (ray_o, ray_d, h2, mid2, throughput, radiance, alive,
+                overflow), None
 
     of_init = jnp.zeros((), bool)
     for f in of0:
         of_init = of_init | f
+    # hoisted primary-miss env radiance (reference :146-158): bounce-0
+    # throughput is 1 and only bounce 0 reads the sky, so it seeds the
+    # accumulator instead of costing a texel gather per bounce
+    rad_init = jnp.zeros((B, 3), jnp.float32)
+    if has_env:
+        sky0 = env_ops.eval_direction(scene.env_map.image, ray_d)
+        rad_init = jnp.where((~hit0.hit)[..., None], sky0, 0.0)
     init = (
         ray_o,
         ray_d,
         hit0,
+        mid0,
         jnp.ones((B, 3), jnp.float32),
-        jnp.zeros((B, 3), jnp.float32),
+        rad_init,
         jnp.ones((B,), bool),
         of_init,
     )
@@ -813,8 +903,8 @@ def trace_shared(scene: Scene, ray_o, ray_d, key, bounces: int,
     carry, _ = jax.lax.scan(body, init, jnp.arange(bounces),
                             length=bounces)
     if with_aux:
-        return carry[4], {"overflow": carry[6]}
-    return carry[4]
+        return carry[5], {"overflow": carry[7]}
+    return carry[5]
 
 
 def render_rays(scene: Scene, camera: Camera, px, py,

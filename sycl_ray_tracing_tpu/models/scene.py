@@ -88,6 +88,15 @@ class Scene:
     bvh: Optional[Any]                # ops.bvh.ThreadedBVH or None
     clusters: Optional[Any] = None    # ops.cluster.ClusterScene or None
     tri_areas: Optional[jnp.ndarray] = None  # [N] precomputed areas
+    # Cluster-SLOT shading table (aligned with clusters.cl_tri_idx):
+    # [K2*T, 2] i32 — column 0 = tri_idx | material_id << 20, column 1 =
+    # the triangle's area as f32 bits.  ONE VMEM-resident row-gather by
+    # the kernel's packed (cluster,lane) winner resolves prim, material
+    # AND emitter area (r5 profile: the [199716,8]/[199716,4]
+    # per-primitive gathers it replaces cost up to 0.5 ms per launch when
+    # XLA leaves them in HBM; gathers cost ~8ns per ROW regardless of
+    # width, so one 2-wide row beats two separate tables).
+    slot_table: Optional[jnp.ndarray] = None
 
     @property
     def num_triangles(self) -> int:
@@ -127,10 +136,43 @@ class Scene:
         tris = np.asarray(self.triangles)
         cs = build_clusters(tris, order="sah")
         p1, p2 = default_budgets(num_rays_hint, cs.num_superclusters)
-        return self.with_clusters(cs.with_budgets(p1, p2))
+        scene = self.with_clusters(cs.with_budgets(p1, p2))
+        return dataclasses.replace(scene, **_slot_tables(scene))
 
     def with_materials(self, materials: Materials) -> "Scene":
         return dataclasses.replace(self, materials=materials)
+
+
+def _slot_tables(scene: "Scene") -> dict:
+    """Precompute the cluster-slot shading tables (see Scene.slot_packed).
+
+    Host-side numpy — runs once at accel-build time.  The 20/11-bit
+    packing matches the list tracer's 1M-triangle VMEM limit
+    (listtrace.fits_in_vmem: <=8192 clusters * 128 slots)."""
+    if scene.clusters is None:
+        return {}
+    idx = np.asarray(scene.clusters.cl_tri_idx)           # [K2,T]
+    n = scene.num_triangles
+    mcount = scene.materials.count
+    if n > (1 << 20) or mcount > (1 << 11):
+        return {}  # packing would overflow; integrator falls back
+    valid = idx >= 0
+    ci = np.clip(idx, 0, max(0, n - 1))
+    matid = np.asarray(scene.material_indices)[ci]
+    sp = np.where(valid, idx, 0).astype(np.int32) | (
+        np.where(valid, matid, 0).astype(np.int32) << 20
+    )
+    if scene.tri_areas is not None:
+        areas = np.asarray(scene.tri_areas)
+    else:
+        t = np.asarray(scene.triangles)
+        c = np.cross(t[:, 1] - t[:, 0], t[:, 2] - t[:, 0])
+        areas = 0.5 * np.linalg.norm(c, axis=-1)
+    sa = np.where(valid, areas[ci], 0.0).astype(np.float32)
+    tab = np.stack(
+        [sp.reshape(-1), sa.reshape(-1).view(np.int32)], axis=1
+    )                                                     # [K2*T, 2] i32
+    return dict(slot_table=jnp.asarray(tab))
 
 
 def make_scene(

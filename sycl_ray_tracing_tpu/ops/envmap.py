@@ -31,13 +31,26 @@ import jax.numpy as jnp
 from sycl_ray_tracing_tpu.ops.safe_math import luminance, safe_asin
 
 
+COL_BLK = 32  # column-CDF block width for the two-level inversion
+
+
 class EnvMapSampler(NamedTuple):
-    """Precomputed sampling tables for an equirect env map [H,W,3]."""
+    """Precomputed sampling tables for an equirect env map [H,W,3].
+
+    ``cond_blk``/``cond_fine`` are the two-level form of ``cond_cdf`` for
+    the column inversion: the dense [B,W] row-gather + compare-count
+    streamed W*4 bytes per ray (134 MB/launch at W=1024 — bandwidth-bound,
+    ~0.4 ms/launch, r5 profile); the block tables cut that by W/COL_BLK
+    while producing bit-identical counts (elements <= target form a prefix
+    of the nondecreasing row, so #full-blocks + in-block count equals the
+    dense count exactly)."""
 
     image: jnp.ndarray        # [H,W,3] radiance texels (differentiable)
     row_cdf: jnp.ndarray      # [H] inclusive prefix sum of row luminance sums
     cond_cdf: jnp.ndarray     # [H,W] inclusive prefix sums within each row
     total: jnp.ndarray        # [] total luminance
+    cond_blk: jnp.ndarray     # [H,NB] block-end cdf (NB = ceil(W/COL_BLK))
+    cond_fine: jnp.ndarray    # [H*NB, COL_BLK] blocked cdf, pad=+inf
 
 
 def build_sampler(image) -> EnvMapSampler:
@@ -61,11 +74,22 @@ def build_sampler(image) -> EnvMapSampler:
         cond_cdf = np.cumsum(lum, axis=1, dtype=np.float32)
         row_cdf = np.cumsum(cond_cdf[:, -1], dtype=np.float32)
         total = np.maximum(row_cdf[-1], 1e-12)
+        h, w = lum.shape
+        blk = min(COL_BLK, w)
+        nb = -(-w // blk)
+        pad = nb * blk - w
+        fine = np.pad(cond_cdf, ((0, 0), (0, pad)),
+                      constant_values=np.inf).reshape(h * nb, blk)
+        cblk = fine.reshape(h, nb, blk)[:, :, -1]
+        cblk = np.where(np.isinf(cblk),
+                        cond_cdf[:, -1:].repeat(nb, 1), cblk)
         return EnvMapSampler(
             image=jnp.asarray(img_np),
             row_cdf=jnp.asarray(row_cdf),
             cond_cdf=jnp.asarray(cond_cdf),
             total=jnp.asarray(total, jnp.float32),
+            cond_blk=jnp.asarray(cblk.astype(np.float32)),
+            cond_fine=jnp.asarray(fine.astype(np.float32)),
         )
 
     lum = jax.lax.stop_gradient(luminance(image))             # [H,W]
@@ -73,7 +97,17 @@ def build_sampler(image) -> EnvMapSampler:
     row_sums = cond_cdf[:, -1]                                # [H]
     row_cdf = jnp.cumsum(row_sums)                            # [H]
     total = jnp.maximum(row_cdf[-1], 1e-12)
-    return EnvMapSampler(image=image, row_cdf=row_cdf, cond_cdf=cond_cdf, total=total)
+    h, w = lum.shape
+    blk = min(COL_BLK, w)
+    nb = -(-w // blk)
+    pad = nb * blk - w
+    fine = jnp.pad(cond_cdf, ((0, 0), (0, pad)),
+                   constant_values=jnp.inf).reshape(h * nb, blk)
+    cblk = fine.reshape(h, nb, blk)[:, :, -1]
+    cblk = jnp.where(jnp.isinf(cblk),
+                     jnp.repeat(cond_cdf[:, -1:], nb, axis=1), cblk)
+    return EnvMapSampler(image=image, row_cdf=row_cdf, cond_cdf=cond_cdf,
+                         total=total, cond_blk=cblk, cond_fine=fine)
 
 
 def eval_direction(image: jnp.ndarray, direction: jnp.ndarray) -> jnp.ndarray:
@@ -128,8 +162,22 @@ def sample(sampler: EnvMapSampler, u_row, u_col):
     pr = pairs[y]
     row_lo = pr[..., 0]
     row_sum = jnp.maximum(pr[..., 1] - row_lo, 1e-12)
-    cond = sampler.cond_cdf[y]                       # [...,W]
-    x = _searchsorted_rows(cond, u_col * row_sum)
+    # TWO-LEVEL column inversion (bit-identical to the dense
+    # compare-and-count over cond_cdf[y], see EnvMapSampler): count full
+    # blocks by their end-cdf, then count within the boundary block —
+    # elements <= target form a prefix of the nondecreasing row, so
+    # blk*COL_BLK + in-block count == the dense count exactly, at
+    # 1/(W/COL_BLK) of the gather bandwidth.
+    target = u_col * row_sum
+    nb = sampler.cond_blk.shape[1]
+    blk_w = sampler.cond_fine.shape[1]
+    cb = sampler.cond_blk[y]                         # [...,NB]
+    blk = jnp.sum(cb <= target[..., None], axis=-1).astype(jnp.int32)
+    blk = jnp.clip(blk, 0, nb - 1)
+    cf = sampler.cond_fine[y * nb + blk]             # [...,COL_BLK]
+    x = blk * blk_w + jnp.sum(
+        cf <= target[..., None], axis=-1
+    ).astype(jnp.int32)
     x = jnp.clip(x, 0, w - 1)
 
     # Spherical direction at texel center-ish (reference uses texel corner,

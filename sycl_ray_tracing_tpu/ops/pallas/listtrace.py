@@ -65,6 +65,7 @@ and any-hit with t_max), TPU-first shape.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -93,6 +94,8 @@ DEFAULT_MAXC_SHARE = 96  # block-union slots: deep enough that the
                    # scratch/frame_ab_r4.log)
 GROUP = 8          # unguarded leading rounds (see module docstring)
 CHUNK = 16         # tail rounds per scalar-count gate (see _tail_guard)
+ESC_CAP_DIV = 64   # escalation compaction: cap ~= B/64 rows (>=256),
+                   # ~4x the measured p99 uncertified fraction (see _run)
 HIER_MAXS = 16     # supercluster slots per block in the hierarchical build
 
 # Module default for the ``share`` mode of closest_hit/any_hit/multi_query
@@ -668,7 +671,12 @@ def _run(scene: ClusterScene, ray_o, ray_d, t_lim, maxc, any_hit,
         (render_kernel.cpp:485-502 never drops hits; we flag instead of
         silently dropping).
     """
+    if escalate and os.environ.get("LISTTRACE_NO_ESCALATE"):
+        # measurement-only kill switch (scratch A/Bs): results may be
+        # APPROXIMATE and the overflow flag stays honest about it
+        escalate = False
     B = ray_o.shape[0]
+    cap = min(B, max(256, -(-B // (ESC_CAP_DIV * 256)) * 256))
     live = jnp.ones((B,), bool) if mask is None else mask
     if isinstance(any_hit, bool):
         ah = jnp.full((B,), any_hit, bool)
@@ -693,24 +701,53 @@ def _run(scene: ClusterScene, ray_o, ray_d, t_lim, maxc, any_hit,
         maxc2 = min(128, 2 * maxc)
 
         def _esc(redo):
+            # COMPACTED per-ray pass (r5): the r4 escalation re-ran
+            # _run_once on the FULL batch (pack + 28-bit-key sort +
+            # permute + inverse permute, all at B rows) to heal a ~0-1%
+            # tail — ~44 ms of the 389 ms dragon frame
+            # (scratch/profile_r5_noesc.log A/B).  Instead, stable-
+            # partition the redo rays to the front (one bool-key argsort),
+            # gather the first ``cap`` rows, run the per-ray exact pass on
+            # those ONLY (sort=False: the dense build needs no block
+            # coherence), and merge back with one [B] row-gather — no
+            # scatter, no full-batch permutes.  Rays beyond ``cap`` (never
+            # seen at the measured p99 ~1.3% redo fraction; cap is ~1.6%
+            # of B) stay uncertified and keep the overflow flag honest —
+            # main.py's maxc regrow remains the remedy, exactly as for a
+            # true list overflow.
+            #
             # full-recall extraction: an approx recall miss here would
             # poison the same row again and leave it permanently
             # uncertifiable (the 870k flagship's residual overflow=True
             # came exactly from this)
-            t2, p2, r2, _raw2 = _run_once(
-                scene, ray_o, ray_d, t_lim, maxc2, any_hit, sort=sort,
-                mask=redo, share=False, force_dense=True, exact=True,
+            perm_r = jnp.argsort(~redo)              # stable: redo first
+            idx = perm_r[:cap]
+            # sort=True inside the CAP-sized pass: trivial at cap rows,
+            # and it re-enables the bucketed launch — the kernel grid then
+            # scales with the ACTUAL redo count (often 10-100 rays), not
+            # with cap
+            t2c, p2c, r2c, _raw2 = _run_once(
+                scene, ray_o[idx], ray_d[idx], t_lim[idx], maxc2, ah[idx],
+                sort=True, mask=redo[idx], share=False, force_dense=True,
+                exact=True,
             )
+            # merge-back gather: original row -> its compact slot
+            pos = jnp.cumsum(redo.astype(jnp.int32)) - 1
+            slot = jnp.clip(pos, 0, cap - 1)
+            out = jnp.stack(
+                [t2c, p2c.astype(jnp.float32), r2c.astype(jnp.float32)],
+                axis=1,
+            )[slot]                                   # ONE [B] row-gather
+            covered = redo & (pos < cap)
+            t2 = jnp.where(covered, out[:, 0], t)
+            p2 = jnp.where(covered, out[:, 1].astype(jnp.int32), packed)
+            r2 = jnp.where(covered, out[:, 2] > 0.5, resolved)
             return t2, p2, r2
 
         if jax.default_backend() == "tpu":
-            # skip the WHOLE escalation sweep (full-batch pack + sort +
-            # permute + bucketed build/kernel, ~2-4 ms of glue even at the
-            # smallest bucket) on launches where every ray certified —
-            # most bounces of a sorted render wavefront (the uncertified
-            # fraction at the shipped maxc is ~0-1%, scratch/redo_stats).
-            # The pass-through branch returns the main pass's own arrays;
-            # the merge below is the identity when redo is all-False.
+            # skip the whole escalation pass on launches where every ray
+            # certified; the pass-through branch returns the main pass's
+            # own arrays and the merge below is then the identity.
             t2, p2, r2 = jax.lax.cond(
                 jnp.any(redo), _esc, lambda _: (t, packed, resolved), redo
             )
