@@ -29,6 +29,22 @@ CONFIGS = {
     "chunk32": {"CHUNK": 32},
     "noprimshare": {"PRIMARY_SHARE": False},
     "esccap32": {"ESC_CAP_DIV": 32},
+    "esccap1": {"ESC_CAP_DIV": 1},
+    "esccap8": {"ESC_CAP_DIV": 8},
+    "esccap16": {"ESC_CAP_DIV": 16},
+    "rb16esc8": {"RB_SHARE": 16, "ESC_CAP_DIV": 8},
+    "mc64esc8": {"DEFAULT_MAXC_SHARE": 64, "ESC_CAP_DIV": 8},
+    "mc128esc8": {"DEFAULT_MAXC_SHARE": 128, "ESC_CAP_DIV": 8},
+    "rb16mc64esc8": {"RB_SHARE": 16, "DEFAULT_MAXC_SHARE": 64, "ESC_CAP_DIV": 8},
+    "group16esc8": {"GROUP": 16, "ESC_CAP_DIV": 8},
+    "chunk8esc8": {"CHUNK": 8, "ESC_CAP_DIV": 8},
+    "noprimesc8": {"PRIMARY_SHARE": False, "ESC_CAP_DIV": 8},
+    "rb16mc128esc8": {"RB_SHARE": 16, "DEFAULT_MAXC_SHARE": 128, "ESC_CAP_DIV": 8},
+    "group16mc128esc8": {"GROUP": 16, "DEFAULT_MAXC_SHARE": 128, "ESC_CAP_DIV": 8},
+    "chunk8mc128esc8": {"CHUNK": 8, "DEFAULT_MAXC_SHARE": 128, "ESC_CAP_DIV": 8},
+    "chunk32mc128esc8": {"CHUNK": 32, "DEFAULT_MAXC_SHARE": 128, "ESC_CAP_DIV": 8},
+    "noprimmc128esc8": {"PRIMARY_SHARE": False, "DEFAULT_MAXC_SHARE": 128, "ESC_CAP_DIV": 8},
+    "mc128esc16": {"DEFAULT_MAXC_SHARE": 128, "ESC_CAP_DIV": 16},
 }
 
 

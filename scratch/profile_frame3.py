@@ -84,17 +84,14 @@ def main():
     cfg = RenderConfig(width=512, height=512, samples=1, bounces=8,
                        intersect="list", tile_rays=tile, estimator="shared")
     if bwd:
-        def loss(s, c, k):
-            img = pathtracer.render(s, c, cfg, k)
-            return jnp_sum(img)
-
         import jax.numpy as jnp
 
-        def jnp_sum(x):
-            return jnp.sum(x * x)
+        def loss(s, m, c, k):
+            img = pathtracer.render(s.with_materials(m), c, cfg, k)
+            return jnp.mean(img)
 
         f = jax.jit(lambda s, c, k: jax.grad(
-            lambda m: loss(s.replace(materials=m), c, k))(s.materials))
+            lambda m: loss(s, m, c, k))(s.materials))
     else:
         f = jax.jit(lambda s, c, k: pathtracer.render(s, c, cfg, k))
     r = f(scene, cam, jax.random.PRNGKey(0))

@@ -571,9 +571,16 @@ def trace_shared(scene: Scene, ray_o, ray_d, key, bounces: int,
 
         def slot_lookup(packed):
             """packed winner -> (prim, material id, area): ONE row-gather
-            of the [K2,T,2] slot table (packed = cluster*T + lane)."""
+            of the [K2,T,2] slot table (packed = cluster*T + lane).
+
+            The gathered rows are tagged as remat residuals (ISECT_NAME):
+            they are traversal-derived and the bounce/sample replay would
+            otherwise re-pay the 0.5 ms/launch gather twice (r5 bwd
+            profile: 3x 31.9 ms/frame, scratch/profile_r5_bwd.log)."""
+            from sycl_ray_tracing_tpu.ops.intersect import name_traversal
+
             win = jnp.maximum(packed, 0)
-            rows = slot3[win // _T, win % _T]
+            rows = name_traversal(slot3[win // _T, win % _T])
             sp = rows[:, 0]
             prim = jnp.where(packed >= 0, sp & 0xFFFFF, -1)
             area = jax.lax.bitcast_convert_type(rows[:, 1], jnp.float32)

@@ -112,13 +112,21 @@ def build_sampler(image) -> EnvMapSampler:
 
 def eval_direction(image: jnp.ndarray, direction: jnp.ndarray) -> jnp.ndarray:
     """Nearest-texel lat/long lookup for directions [...,3]
-    (reference render_kernel.cpp:520-530)."""
+    (reference render_kernel.cpp:520-530).
+
+    The gathered texels are tagged as remat residuals (same "isect" name
+    the traversal outputs use) so the integrators' bounce/sample replay
+    reads the saved [B,3] rows instead of re-paying the ~0.23 ms/launch
+    HBM gather; checkpoint_name is the identity for AD, so texel
+    gradients still scatter into ``image`` in the backward."""
+    from jax.ad_checkpoint import checkpoint_name
+
     h, w = image.shape[0], image.shape[1]
     u = 0.5 + jnp.arctan2(direction[..., 2], direction[..., 0]) / (2.0 * jnp.pi)
     v = 0.5 + safe_asin(direction[..., 1]) / jnp.pi
     x = jnp.clip((u * w).astype(jnp.int32), 0, w - 1)
     y = jnp.clip((v * h).astype(jnp.int32), 0, h - 1)
-    return image[y, x]
+    return checkpoint_name(image[y, x], "isect")
 
 
 def texel_coords_of_direction(shape, direction):
@@ -192,7 +200,9 @@ def sample(sampler: EnvMapSampler, u_row, u_col):
         [-sin_t * jnp.cos(phi), -cos_t, -sin_t * jnp.sin(phi)], axis=-1
     )
 
-    radiance = sampler.image[y, x]
+    from jax.ad_checkpoint import checkpoint_name
+
+    radiance = checkpoint_name(sampler.image[y, x], "isect")
     pdf = pdf_of_texel(sampler, x, y, sin_t)
     return direction, radiance, pdf, sin_t
 
@@ -205,8 +215,12 @@ def _searchsorted_rows(cdf_rows, values):
 def pdf_of_texel(sampler: EnvMapSampler, x, y, sin_theta):
     """Solid-angle pdf of picking texel (x,y):
     (lum/total) * W*H / (2 pi^2 sin(theta)) (render_kernel.cpp:594-595)."""
+    from jax.ad_checkpoint import checkpoint_name
+
     h, w = sampler.image.shape[0], sampler.image.shape[1]
     lum = jax.lax.stop_gradient(luminance(sampler.image[y, x]))
+    # residual-tagged (detached anyway): skip the replay re-gather
+    lum = checkpoint_name(lum, "isect")
     pdf = (lum / sampler.total) * (w * h)
     return pdf / jnp.maximum(2.0 * jnp.pi * jnp.pi * sin_theta, 1e-8)
 

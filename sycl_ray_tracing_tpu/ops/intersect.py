@@ -150,7 +150,11 @@ def finalize_hit(ray_o, ray_d, tris, prim):
     """
     n = tris.shape[0]
     best = jnp.clip(prim, 0, n - 1)
-    tri9 = tris.reshape(n, 9)[best]                   # [R,9]
+    # remat residual: the [R,9] vertex rows are saved so the backward
+    # replay does not re-pay the gather (up to 0.5 ms/launch when the
+    # table sits in HBM); checkpoint_name is the identity for AD, so
+    # gradients w.r.t. the triangle vertices still flow through it
+    tri9 = name_traversal(tris.reshape(n, 9)[best])   # [R,9]
     ax, ay, az = tri9[:, 0], tri9[:, 1], tri9[:, 2]
     e1x, e1y, e1z = tri9[:, 3] - ax, tri9[:, 4] - ay, tri9[:, 5] - az
     e2x, e2y, e2z = tri9[:, 6] - ax, tri9[:, 7] - ay, tri9[:, 8] - az

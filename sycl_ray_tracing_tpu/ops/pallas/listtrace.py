@@ -88,14 +88,30 @@ RB = 8             # per-ray kernel: rays per block = one sublane group
 RB_SHARE = 32      # block-shared kernel: rays sharing one candidate list
 DEFAULT_MAXC = 32  # per-ray candidate slots (covers the p99 of surface
                    # wavefronts; the escalation pass handles the tail)
-DEFAULT_MAXC_SHARE = 96  # block-union slots: deep enough that the
-                   # per-ray escalation only sees a ~1% tail (the r4 TPU
-                   # A/B: mc=96 beat mc=48 BECAUSE escalation shrank,
-                   # scratch/frame_ab_r4.log)
+DEFAULT_MAXC_SHARE = 128  # block-union slots.  r5 TPU A/B
+                   # (scratch/kernel_shape_r5*.log, all honest
+                   # overflow=False): 128 beats 96 beats 64 on the
+                   # flagship frame (471.9 / 482.0 / 590.2 ms) because a
+                   # DEEPER union leaves fewer full blocks, and every
+                   # unblocked any-hit ray in a full block must take the
+                   # per-ray escalation pass — escalation volume, not
+                   # kernel rounds (count-gated), is the marginal cost.
+                   # The same sweep re-confirmed RB_SHARE=32 (~tie with
+                   # 16), GROUP=8, CHUNK=16 (8 ~tie, 32 regresses), and
+                   # PRIMARY_SHARE=True (529.9 ms when flipped off) in
+                   # the post-count-gating landscape (VERDICT r4 #7).
 GROUP = 8          # unguarded leading rounds (see module docstring)
 CHUNK = 16         # tail rounds per scalar-count gate (see _tail_guard)
-ESC_CAP_DIV = 64   # escalation compaction: cap ~= B/64 rows (>=256),
-                   # ~4x the measured p99 uncertified fraction (see _run)
+ESC_CAP_DIV = 8    # escalation compaction: cap ~= B/8 rows (>=256).  The
+                   # redo set is NOT just the ~1% closest-hit tail: every
+                   # UNBLOCKED any-hit ray in a block whose union list
+                   # filled is uncertifiable by the union certificate
+                   # (its t_lim is BIG, so ctn_last < t_lim whenever the
+                   # list is full), and sky-bound shadow rays make that
+                   # several percent of a launch.  B/8 covers the worst
+                   # launch measured on the flagship (redo <= B/16,
+                   # scratch/kernel_shape_r5*.log: cap B/16 and B/8 both
+                   # certify overflow=False; B/64 left rays uncertified).
 HIER_MAXS = 16     # supercluster slots per block in the hierarchical build
 
 # Module default for the ``share`` mode of closest_hit/any_hit/multi_query
@@ -708,13 +724,12 @@ def _run(scene: ClusterScene, ray_o, ray_d, t_lim, maxc, any_hit,
             # (scratch/profile_r5_noesc.log A/B).  Instead, stable-
             # partition the redo rays to the front (one bool-key argsort),
             # gather the first ``cap`` rows, run the per-ray exact pass on
-            # those ONLY (sort=False: the dense build needs no block
-            # coherence), and merge back with one [B] row-gather — no
-            # scatter, no full-batch permutes.  Rays beyond ``cap`` (never
-            # seen at the measured p99 ~1.3% redo fraction; cap is ~1.6%
-            # of B) stay uncertified and keep the overflow flag honest —
-            # main.py's maxc regrow remains the remedy, exactly as for a
-            # true list overflow.
+            # those ONLY, and merge back with one [B] row-gather — no
+            # scatter, no full-batch permutes.  Rays beyond ``cap``
+            # (unseen on the measured flagship: worst-launch redo was
+            # between B/64 and B/16, see ESC_CAP_DIV) stay uncertified
+            # and keep the overflow flag honest — main.py's maxc regrow
+            # remains the remedy, exactly as for a true list overflow.
             #
             # full-recall extraction: an approx recall miss here would
             # poison the same row again and leave it permanently
@@ -772,9 +787,10 @@ def _run(scene: ClusterScene, ray_o, ray_d, t_lim, maxc, any_hit,
 def _default_maxc(share, scene: ClusterScene | None = None):
     """Candidate-list depth: the scene's escalation override if set (the
     overflow-regrow knob, ClusterScene.list_maxc — interpreted as the
-    PER-RAY depth; share-mode unions scale by the same 3:2 ratio as the
-    module defaults), else the module defaults.  Capped at 128 by the
-    packed-winner encoding (see _run_once's rslot)."""
+    PER-RAY depth; share-mode unions scale by the same ratio as the
+    module defaults, DEFAULT_MAXC_SHARE/DEFAULT_MAXC), else the module
+    defaults.  Capped at 128 by the packed-winner encoding (see
+    _run_once's rslot)."""
     if scene is not None and scene.list_maxc:
         base = scene.list_maxc
     else:

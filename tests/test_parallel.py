@@ -113,8 +113,10 @@ def test_weak_scaling_proxy(cornell_scene):
     cam = cornell_box_camera()
     times = {}
     for n in (1, 8):
-        # constant per-device work: W scales with n
-        cfg = RenderConfig(width=8 * n, height=8, samples=2, bounces=2)
+        # constant per-device work: W scales with n.  The per-device slice
+        # must be 10s of ms — an 8x8x2x2 slice ran in ~1.5 ms, which is
+        # pure dispatch overhead and made the proxy measure nothing (r5).
+        cfg = RenderConfig(width=32 * n, height=32, samples=4, bounces=3)
         mesh = make_mesh(n, sample_axis=1)
         f = jax.jit(
             lambda s, c, k, cfg=cfg, mesh=mesh: render_sharded(
@@ -129,7 +131,15 @@ def test_weak_scaling_proxy(cornell_scene):
     eff = (8 * times[1]) / max(times[8], 1e-9)
     print(f"weak-scaling proxy: t1={times[1]*1e3:.1f}ms "
           f"t8={times[8]*1e3:.1f}ms efficiency={eff:.2f}")
-    assert eff > 0.3  # loose: catches only gross per-device overheads
+    # Bound derivation (r5 analysis, scratch/weak_scaling_r5.log): the 8
+    # virtual devices share this host's 4 cores and a single-device render
+    # is ~1-core-bound, so 8-on-4 contention alone caps t8 at ~2x t1
+    # (eff ~4); the program's collectives are two psums of a tiny [H,W,3]
+    # image, negligible on real ICI.  Measured solo: eff ~3.0.  Assert
+    # eff > 1.0 (t8 <= 8x t1): ~3x slack for pytest-xdist core contention
+    # during the run, but unlike the old 0.3 bound (t8 <= 26x t1!) it
+    # still bites on any gross sharding regression.
+    assert eff > 1.0
 
 
 def test_sharded_render_list_backend():
