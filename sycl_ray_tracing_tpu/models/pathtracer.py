@@ -66,8 +66,15 @@ def _remat(body):
 
 # Use the block-shared list kernel for trace_shared's PRIMARY rays (always
 # coherent); None falls back to the list tracer's own default.  A/B'd on
-# TPU by scratch/share_bench.py.
+# TPU by scratch/share_bench.py (re-confirmed r5, scratch/kernel_shape_r5*).
 PRIMARY_SHARE = True
+
+# Minimum batch size for trace_shared's wavefront compaction (see the
+# compaction block in trace_shared).  Below this the live-prefix buckets
+# cannot amortize the per-bounce partition, and CPU test batches would
+# pay 4x interpret-mode compiles for nothing.  Tests lower it to force
+# the compaction path on small batches.
+COMPACT_MIN_B = 8192
 
 
 # purpose tags for key folding — one stream per random decision
@@ -652,8 +659,13 @@ def trace_shared(scene: Scene, ray_o, ray_d, key, bounces: int,
         hit0 = intersect_scene(scene, ray_o, ray_d, backend, of0,
                                list_share=PRIMARY_SHARE)
 
-    def bounce_body(carry, bounce):
-        ray_o, ray_d, hit, mid, throughput, radiance, alive, overflow = carry
+    def _bounce_core(bounce, ray_o, ray_d, hit, mid, throughput, radiance,
+                     alive):
+        """One bounce over a wavefront of ANY width (the compaction
+        branches call this on live-prefix slices; the plain scan body
+        calls it at full width).  Returns the updated per-ray state plus
+        the bounce's overflow flag."""
+        W = ray_o.shape[0]
         of = []
         live_hit = alive & hit.hit
 
@@ -677,7 +689,7 @@ def trace_shared(scene: Scene, ray_o, ray_d, key, bounces: int,
         origin = hit.point + hit.normal * RAY_OFFSET
 
         # --- ONE GGX sample for all brdf-sampled estimators this bounce ---
-        uc = _uniforms(key, bounce, _CONT, (B, 2))
+        uc = _uniforms(key, bounce, _CONT, (W, 2))
         brdf_s, wi_s, pdf_s = ggx_importance_sample(
             diffuse, metal, rough, view, hit.normal, uc[:, 0], uc[:, 1],
             reference_bug=ggx_bug,
@@ -695,7 +707,7 @@ def trace_shared(scene: Scene, ray_o, ray_d, key, bounces: int,
         # list backend can FUSE the bounce's continuation closest-hit and
         # NEE shadow rays into ONE sort+candidate-build+kernel launch ---
         if num_lights > 0:
-            u = _uniforms(key, bounce, _LIGHT, (B, 3))
+            u = _uniforms(key, bounce, _LIGHT, (W, 3))
             pick = jnp.minimum(
                 (u[:, 0] * num_lights).astype(jnp.int32), num_lights - 1
             )
@@ -714,7 +726,7 @@ def trace_shared(scene: Scene, ray_o, ray_d, key, bounces: int,
             light_mask = live_hit & front & (cos_surf > 0.0)
         if has_env:
             sampler = scene.env_map
-            u_e = _uniforms(key, bounce, _ENV, (B, 2))
+            u_e = _uniforms(key, bounce, _ENV, (W, 2))
             wi_e, env_rad, env_pdf, _ = env_ops.sample(
                 sampler, u_e[:, 0], u_e[:, 1]
             )
@@ -767,7 +779,7 @@ def trace_shared(scene: Scene, ray_o, ray_d, key, bounces: int,
 
                     blocked = _merge_sphere_occlusion(
                         scene, origin, wi_e,
-                        jnp.full((B,), _BIG, origin.dtype), blocked,
+                        jnp.full((W,), _BIG, origin.dtype), blocked,
                     )
         else:
             mid2 = mid
@@ -780,7 +792,7 @@ def trace_shared(scene: Scene, ray_o, ray_d, key, bounces: int,
                 blocked = occluded(scene, origin, wi_e, None, backend, of,
                                    mask=env_mask)
 
-        direct = jnp.zeros((B, 3), jnp.float32)
+        direct = jnp.zeros((W, 3), jnp.float32)
 
         # --- light NEE: light-sample term (any-hit #1) ---
         if num_lights > 0:
@@ -879,10 +891,10 @@ def trace_shared(scene: Scene, ray_o, ray_d, key, bounces: int,
         ray_o = jnp.where(ok_c[..., None], origin, ray_o)
         ray_d = jnp.where(ok_c[..., None], wi_s, ray_d)
         alive = ok_c
+        ovf = jnp.zeros((), bool)
         for f in of:
-            overflow = overflow | f
-        return (ray_o, ray_d, h2, mid2, throughput, radiance, alive,
-                overflow), None
+            ovf = ovf | f
+        return ray_o, ray_d, h2, mid2, throughput, radiance, alive, ovf
 
     of_init = jnp.zeros((), bool)
     for f in of0:
@@ -894,24 +906,131 @@ def trace_shared(scene: Scene, ray_o, ray_d, key, bounces: int,
     if has_env:
         sky0 = env_ops.eval_direction(scene.env_map.image, ray_d)
         rad_init = jnp.where((~hit0.hit)[..., None], sky0, 0.0)
-    init = (
-        ray_o,
-        ray_d,
-        hit0,
-        mid0,
-        jnp.ones((B, 3), jnp.float32),
-        rad_init,
-        jnp.ones((B,), bool),
-        of_init,
-    )
+
+    # WAVEFRONT COMPACTION (docs/ROOFLINE.md lever #1): live fractions
+    # fall to ~0.2-0.7 after bounce 1 on sky frames, and while the kernel
+    # and candidate build already scale with the live count (bucketed
+    # launches), the sorts, permutes and shading gathers ran full-width
+    # every bounce.  Here the whole bounce body runs on a live-PREFIX
+    # bucket: partition alive-first (stable, one bool argsort + ONE packed
+    # [B,C] row-gather), pick the smallest static width covering the live
+    # count, run _bounce_core on that slice, and keep the dead suffix
+    # untouched (its radiance is already final).  A carried original-index
+    # column undoes the accumulated permutations once, after the scan.
+    # Estimator note: uniforms are keyed by (lane, bounce) and each
+    # (lane, bounce) stream is used once, so re-laning rays between
+    # bounces leaves every draw independent and the estimator unbiased —
+    # trace_shared is validated statistically, not sample-for-sample
+    # (tests/test_integrator.py).
+    do_compact = fuse and B >= COMPACT_MIN_B
+
+    if not do_compact:
+        def bounce_body(carry, bounce):
+            ray_o, ray_d, hit, mid, tp, rad, alive, overflow = carry
+            ray_o, ray_d, h2, mid2, tp, rad, alive, ovf = _bounce_core(
+                bounce, ray_o, ray_d, hit, mid, tp, rad, alive
+            )
+            return (ray_o, ray_d, h2, mid2, tp, rad, alive,
+                    overflow | ovf), None
+
+        init = (
+            ray_o,
+            ray_d,
+            hit0,
+            mid0,
+            jnp.ones((B, 3), jnp.float32),
+            rad_init,
+            jnp.ones((B,), bool),
+            of_init,
+        )
+        body = bounce_body
+        if remat:
+            body = _remat(bounce_body)
+        carry, _ = jax.lax.scan(body, init, jnp.arange(bounces),
+                                length=bounces)
+        if with_aux:
+            return carry[5], {"overflow": carry[7]}
+        return carry[5]
+
+    # ---- compacted scan: carry = (packed state [B,26], overflow) ----
+    bits = lambda x: jax.lax.bitcast_convert_type(        # noqa: E731
+        x.astype(jnp.int32), jnp.float32)
+    unbits = lambda x: jax.lax.bitcast_convert_type(      # noqa: E731
+        x, jnp.int32)
+
+    def pack_state(ray_o, ray_d, hit, mid, tp, rad, alive, ordmap):
+        return jnp.concatenate(
+            [ray_o, ray_d, hit.t[:, None], hit.point, hit.normal, hit.uv,
+             bits(hit.prim)[:, None], hit.hit.astype(jnp.float32)[:, None],
+             bits(mid)[:, None], tp, rad,
+             alive.astype(jnp.float32)[:, None], bits(ordmap)[:, None]],
+            axis=1,
+        )                                                 # [*, 26]
+
+    def unpack_state(s):
+        hit = Hit(
+            t=s[:, 6],
+            point=s[:, 7:10],
+            normal=s[:, 10:13],
+            uv=s[:, 13:15],
+            prim=unbits(s[:, 15]),
+            hit=s[:, 16] > 0.5,
+        )
+        return (s[:, 0:3], s[:, 3:6], hit, unbits(s[:, 17]), s[:, 18:21],
+                s[:, 21:24], s[:, 24] > 0.5, unbits(s[:, 25]))
+
+    r256 = lambda x: -(-x // 256) * 256                   # noqa: E731
+    widths = sorted({r256(max(256, B // d)) for d in (8, 4, 2)} | {B})
+
+    def bounce_body(carry, bounce):
+        from sycl_ray_tracing_tpu.ops.intersect import name_traversal
+
+        state, overflow = carry
+        alive = state[:, 24] > 0.5
+        perm_a = jnp.argsort(~alive)                     # stable: live first
+        # residual-tagged: the backward replay reads the saved partitioned
+        # state instead of re-sorting and re-gathering (identity for AD —
+        # radiance/throughput cotangents still flow through the permute)
+        state = name_traversal(state[perm_a])            # ONE [B,26] gather
+        live_n = jnp.sum(alive)
+        idx = jnp.zeros((), jnp.int32)
+        for w in widths[:-1]:
+            idx = idx + (live_n > w).astype(jnp.int32)
+
+        def make_branch(w):
+            def br(state):
+                sl = state[:w]
+                (ro, rd, hit, mid, tp, rad, alv, om) = unpack_state(sl)
+                ro, rd, h2, mid2, tp, rad, alv, ovf = _bounce_core(
+                    bounce, ro, rd, hit, mid, tp, rad, alv
+                )
+                prefix = pack_state(ro, rd, h2, mid2, tp, rad, alv, om)
+                return jnp.concatenate([prefix, state[w:]], axis=0), ovf
+            return br
+
+        state, ovf = jax.lax.switch(
+            idx, [make_branch(w) for w in widths], state
+        )
+        return (state, overflow | ovf), None
+
+    state0 = pack_state(ray_o, ray_d, hit0, mid0,
+                        jnp.ones((B, 3), jnp.float32), rad_init,
+                        jnp.ones((B,), bool),
+                        jnp.arange(B, dtype=jnp.int32))
     body = bounce_body
     if remat:
         body = _remat(bounce_body)
-    carry, _ = jax.lax.scan(body, init, jnp.arange(bounces),
-                            length=bounces)
+    (state, overflow), _ = jax.lax.scan(
+        body, (state0, of_init), jnp.arange(bounces), length=bounces
+    )
+    # undo the accumulated per-bounce permutations with one gather: sort
+    # (ordmap, radiance) rows by original index
+    ordmap = unbits(state[:, 25])
+    rad_perm = state[:, 21:24]
+    radiance = rad_perm[jnp.argsort(ordmap)]
     if with_aux:
-        return carry[5], {"overflow": carry[7]}
-    return carry[5]
+        return radiance, {"overflow": overflow}
+    return radiance
 
 
 def render_rays(scene: Scene, camera: Camera, px, py,

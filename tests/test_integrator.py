@@ -292,3 +292,58 @@ def test_fused_list_path_with_spheres_matches_brute(test_env_map):
     assert imgs["list"].mean() > 1e-4
     np.testing.assert_allclose(imgs["list"], imgs["brute"],
                                rtol=2e-4, atol=1e-5)
+
+
+def test_compacted_wavefront_exact_at_bounce1():
+    """With bounces=1 every ray is alive at its single bounce, so the
+    compaction partition is the identity permutation and the compacted
+    scan must match the plain scan to float-ulp level (exercises
+    pack/unpack, the full-width switch branch, and the ordmap restore;
+    exact bit-equality is not required because the switch changes XLA's
+    fusion boundaries)."""
+    from sycl_ray_tracing_tpu.models import pathtracer as pt
+    from sycl_ray_tracing_tpu.models.camera import pbrt_dragon_camera
+    from sycl_ray_tracing_tpu.utils.procedural import dragon_scene
+
+    scene = dragon_scene(n_tris=2_000, with_sky=True, sky_res=(16, 32))
+    cam = pbrt_dragon_camera()
+    cfg = RenderConfig(width=16, height=16, samples=1, bounces=1,
+                       intersect="list", estimator="shared", tile_rays=None)
+    key = jax.random.PRNGKey(5)
+    old = pt.COMPACT_MIN_B
+    try:
+        pt.COMPACT_MIN_B = 1 << 30        # force the plain path
+        plain = np.asarray(pathtracer.render(scene, cam, cfg, key))
+        pt.COMPACT_MIN_B = 1              # force the compacted path
+        comp = np.asarray(pathtracer.render(scene, cam, cfg, key))
+    finally:
+        pt.COMPACT_MIN_B = old
+    np.testing.assert_allclose(plain, comp, rtol=1e-5, atol=1e-7)
+
+
+def test_compacted_wavefront_statistical():
+    """Multi-bounce compaction re-lanes rays between bounces (fresh
+    lane-keyed uniforms), so results differ sample-for-sample but must
+    agree in expectation with the plain scan."""
+    from sycl_ray_tracing_tpu.models import pathtracer as pt
+    from sycl_ray_tracing_tpu.models.camera import pbrt_dragon_camera
+    from sycl_ray_tracing_tpu.utils.procedural import dragon_scene
+
+    scene = dragon_scene(n_tris=2_000, with_sky=True, sky_res=(16, 32))
+    cam = pbrt_dragon_camera()
+    cfg = RenderConfig(width=16, height=16, samples=48, bounces=3,
+                       intersect="list", estimator="shared", tile_rays=None)
+    key = jax.random.PRNGKey(11)
+    old = pt.COMPACT_MIN_B
+    try:
+        pt.COMPACT_MIN_B = 1 << 30
+        plain = np.asarray(pathtracer.render(scene, cam, cfg, key))
+        pt.COMPACT_MIN_B = 1
+        comp = np.asarray(pathtracer.render(scene, cam, cfg, key))
+    finally:
+        pt.COMPACT_MIN_B = old
+    assert np.isfinite(comp).all()
+    # clamp extreme fireflies out of both before comparing means
+    pm = np.clip(plain, 0, 20).mean()
+    cm = np.clip(comp, 0, 20).mean()
+    assert abs(pm - cm) / (pm + 1e-6) < 0.15, (pm, cm)
