@@ -77,6 +77,26 @@ PRIMARY_SHARE = True
 COMPACT_MIN_B = 8192
 
 
+@jax.custom_vjp
+def _permute_rows(x, perm, inv):
+    """x[perm] with a GATHER-only backward: the VJP of a gather is a
+    scatter-add, which is serial on TPU — but a PERMUTATION's cotangent
+    is just the inverse permutation's gather.  ``inv`` must be
+    argsort(perm)."""
+    return x[perm]
+
+
+def _permute_rows_fwd(x, perm, inv):
+    return x[perm], inv
+
+
+def _permute_rows_bwd(inv, ct):
+    return ct[inv], None, None
+
+
+_permute_rows.defvjp(_permute_rows_fwd, _permute_rows_bwd)
+
+
 # purpose tags for key folding — one stream per random decision
 _JITTER = 0
 _LIGHT = 1       # light pick + area sample (3 uniforms)
@@ -988,10 +1008,14 @@ def trace_shared(scene: Scene, ray_o, ray_d, key, bounces: int,
         state, overflow = carry
         alive = state[:, 24] > 0.5
         perm_a = jnp.argsort(~alive)                     # stable: live first
+        inv_a = jnp.argsort(perm_a)
         # residual-tagged: the backward replay reads the saved partitioned
-        # state instead of re-sorting and re-gathering (identity for AD —
-        # radiance/throughput cotangents still flow through the permute)
-        state = name_traversal(state[perm_a])            # ONE [B,26] gather
+        # state instead of re-sorting and re-gathering; _permute_rows
+        # gives the permute a gather-only VJP (a plain gather's backward
+        # is a serial scatter-add)
+        state = name_traversal(
+            _permute_rows(state, perm_a, inv_a)          # ONE [B,26] gather
+        )
         live_n = jnp.sum(alive)
         idx = jnp.zeros((), jnp.int32)
         for w in widths[:-1]:
@@ -1024,10 +1048,11 @@ def trace_shared(scene: Scene, ray_o, ray_d, key, bounces: int,
         body, (state0, of_init), jnp.arange(bounces), length=bounces
     )
     # undo the accumulated per-bounce permutations with one gather: sort
-    # (ordmap, radiance) rows by original index
+    # (ordmap, radiance) rows by original index.  ordmap IS the inverse
+    # of argsort(ordmap), so the gather-only-VJP helper applies directly.
     ordmap = unbits(state[:, 25])
     rad_perm = state[:, 21:24]
-    radiance = rad_perm[jnp.argsort(ordmap)]
+    radiance = _permute_rows(rad_perm, jnp.argsort(ordmap), ordmap)
     if with_aux:
         return radiance, {"overflow": overflow}
     return radiance

@@ -102,16 +102,20 @@ DEFAULT_MAXC_SHARE = 128  # block-union slots.  r5 TPU A/B
                    # the post-count-gating landscape (VERDICT r4 #7).
 GROUP = 8          # unguarded leading rounds (see module docstring)
 CHUNK = 16         # tail rounds per scalar-count gate (see _tail_guard)
-ESC_CAP_DIV = 8    # escalation compaction: cap ~= B/8 rows (>=256).  The
+ESC_CAP_DIV = 4    # escalation compaction: cap ~= B/4 rows (>=256).  The
                    # redo set is NOT just the ~1% closest-hit tail: every
                    # UNBLOCKED any-hit ray in a block whose union list
                    # filled is uncertifiable by the union certificate
                    # (its t_lim is BIG, so ctn_last < t_lim whenever the
                    # list is full), and sky-bound shadow rays make that
-                   # several percent of a launch.  B/8 covers the worst
-                   # launch measured on the flagship (redo <= B/16,
-                   # scratch/kernel_shape_r5*.log: cap B/16 and B/8 both
-                   # certify overflow=False; B/64 left rays uncertified).
+                   # several percent of a launch — and since the
+                   # integrator's wavefront compaction (r5) made launches
+                   # mostly-LIVE, the redo FRACTION per launch is much
+                   # higher than on the old mostly-dead batches (the 870k
+                   # flagship needed > B/8 on compacted launches).  B/4
+                   # certifies both flagships overflow=False; the cost
+                   # stays proportional to the ACTUAL redo count because
+                   # the compact pass re-sorts and buckets internally.
 HIER_MAXS = 16     # supercluster slots per block in the hierarchical build
 
 # Module default for the ``share`` mode of closest_hit/any_hit/multi_query

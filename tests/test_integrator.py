@@ -347,3 +347,37 @@ def test_compacted_wavefront_statistical():
     pm = np.clip(plain, 0, 20).mean()
     cm = np.clip(comp, 0, 20).mean()
     assert abs(pm - cm) / (pm + 1e-6) < 0.15, (pm, cm)
+
+
+def test_compacted_wavefront_gradients():
+    """Gradients must flow through the compaction permutes (custom
+    gather-only VJP): autodiff == finite differences at matched seeds."""
+    from sycl_ray_tracing_tpu.models import pathtracer as pt
+    from sycl_ray_tracing_tpu.models.camera import pbrt_dragon_camera
+    from sycl_ray_tracing_tpu.utils.procedural import dragon_scene
+    import dataclasses as _dc
+
+    scene = dragon_scene(n_tris=2_000, with_sky=True, sky_res=(16, 32))
+    cam = pbrt_dragon_camera()
+    cfg = RenderConfig(width=8, height=8, samples=2, bounces=2,
+                       intersect="list", estimator="shared", tile_rays=None)
+    key = jax.random.PRNGKey(7)
+
+    def loss(d0):
+        mats = _dc.replace(
+            scene.materials,
+            diffuse=scene.materials.diffuse.at[2, 0].set(d0),
+        )
+        img = pathtracer.render(scene.with_materials(mats), cam, cfg, key)
+        return jnp.mean(img)
+
+    old = pt.COMPACT_MIN_B
+    try:
+        pt.COMPACT_MIN_B = 1
+        g = float(jax.grad(loss)(jnp.float32(0.5)))
+        eps = 1e-2
+        fd = float((loss(jnp.float32(0.5 + eps))
+                    - loss(jnp.float32(0.5 - eps))) / (2 * eps))
+    finally:
+        pt.COMPACT_MIN_B = old
+    assert abs(g - fd) <= 2e-3 + 0.05 * abs(fd), (g, fd)
