@@ -84,14 +84,20 @@ def main():
     cfg = RenderConfig(width=512, height=512, samples=1, bounces=8,
                        intersect="list", tile_rays=tile, estimator="shared")
     if bwd:
-        import jax.numpy as jnp
+        # replicate bench.py section 2 EXACTLY (same closure structure ->
+        # same HLO -> persistent-cache hit, no 20-min recompile)
+        import dataclasses
 
-        def loss(s, m, c, k):
-            img = pathtracer.render(s.with_materials(m), c, cfg, k)
-            return jnp.mean(img)
+        mats0 = scene.materials
 
-        f = jax.jit(lambda s, c, k: jax.grad(
-            lambda m: loss(s, m, c, k))(s.materials))
+        def loss(diffuse, key):
+            s = scene.with_materials(
+                dataclasses.replace(mats0, diffuse=diffuse)
+            )
+            return pathtracer.render(s, cam, cfg, key).mean()
+
+        vg = jax.jit(jax.value_and_grad(loss))
+        f = lambda s, c, k: vg(mats0.diffuse, k)  # noqa: E731
     else:
         f = jax.jit(lambda s, c, k: pathtracer.render(s, c, cfg, k))
     r = f(scene, cam, jax.random.PRNGKey(0))

@@ -1110,8 +1110,12 @@ def render_rays(scene: Scene, camera: Camera, px, py,
     # memory for the whole render graph, at ~2x forward FLOPs.  Exactness
     # relies on the keyed-uniform design (_uniforms folds (sample, bounce,
     # purpose)): recomputation reproduces identical sample streams.
+    # A length-1 sample scan (the 1 spp/iter bench workload) skips the
+    # sample-level remat: it would buy no memory (there is exactly one
+    # sample's worth of bounce-scan residuals either way) and costs one
+    # full forward replay of the whole bounce scan in the backward.
     sbody = sample_body
-    if remat:
+    if remat and (samples // P) > 1:
         sbody = _remat(sample_body)
     (accum, overflow), _ = jax.lax.scan(
         sbody,
@@ -1144,6 +1148,7 @@ def render(scene: Scene, camera: Camera, config: RenderConfig, key,
             config.intersect, True, config.estimator, config.samples_per_pass,
             config.max_radiance, with_aux=True,
             ggx_bug=(config.ggx_sampler == "reference"),
+            remat=config.remat,
         )
         if with_aux:
             return hdr.reshape(1, 1, 3), aux
@@ -1164,6 +1169,7 @@ def render(scene: Scene, camera: Camera, config: RenderConfig, key,
             config.intersect, True, config.estimator, config.samples_per_pass,
             config.max_radiance, with_aux=True,
             ggx_bug=(config.ggx_sampler == "reference"),
+            remat=config.remat,
         )
         if with_aux:
             return hdr.reshape(H, W, 3), aux
@@ -1184,6 +1190,7 @@ def render(scene: Scene, camera: Camera, config: RenderConfig, key,
             config.intersect, True, config.estimator, config.samples_per_pass,
             config.max_radiance, with_aux=True,
             ggx_bug=(config.ggx_sampler == "reference"),
+            remat=config.remat,
         )
 
     hdr, aux = jax.lax.map(do_tile, (px, py, jnp.arange(n_tiles)))

@@ -696,7 +696,16 @@ def _run(scene: ClusterScene, ray_o, ray_d, t_lim, maxc, any_hit,
         # APPROXIMATE and the overflow flag stays honest about it
         escalate = False
     B = ray_o.shape[0]
-    cap = min(B, max(256, -(-B // (ESC_CAP_DIV * 256)) * 256))
+    # The overflow-regrow knob (ClusterScene.list_maxc, main.py) also
+    # WIDENS the escalation cap: share-mode union depth is already at the
+    # 128-slot packing cap by default, so re-rendering a flagged frame
+    # must buy more escalation COVERAGE (the other way a frame stays
+    # uncertified) — each regrow doubling halves the cap divisor, down to
+    # a full-batch escalation sweep.
+    div = ESC_CAP_DIV
+    if scene.list_maxc:
+        div = max(1, div // max(1, scene.list_maxc // DEFAULT_MAXC))
+    cap = min(B, max(256, -(-B // (div * 256)) * 256))
     live = jnp.ones((B,), bool) if mask is None else mask
     if isinstance(any_hit, bool):
         ah = jnp.full((B,), any_hit, bool)

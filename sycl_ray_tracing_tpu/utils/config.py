@@ -41,6 +41,12 @@ class RenderConfig:
     # Introduces bounded darkening bias like every production clamp.
     max_radiance: Optional[float] = None
 
+    # rematerialize the bounce/sample scan bodies in the backward pass
+    # (path-replay: O(1 sample) live memory at ~1.5-2x backward FLOPs).
+    # False stores the scan residuals instead — faster backward when a
+    # tile's residuals fit HBM (they do at tile_rays<=32768; ~GBs).
+    remat: bool = True
+
     # GGX sampler: "fixed" (corrected NDF inversion, the default) or
     # "reference" (replicates the reference's missing-sqrt sampler bug,
     # render_kernel.cpp:404, for bug-for-bug image parity testing)
