@@ -572,45 +572,46 @@ def trace_shared(scene: Scene, ray_o, ray_d, key, bounces: int,
         from sycl_ray_tracing_tpu.ops.pallas.listtrace import multi_query
 
         cs = scene.clusters
-        if scene.slot_table is not None:
-            slot_table = scene.slot_table
+        if scene.slot_packed is not None:
+            slot_packed = scene.slot_packed              # [K2,T] i32
         else:
-            idx = cs.cl_tri_idx.reshape(-1)
+            idx = cs.cl_tri_idx
             vs = idx >= 0
             ci = jnp.clip(idx, 0, n_tris - 1)
             matid = scene.material_indices[ci]
-            sp = jnp.where(vs, idx, 0) | (jnp.where(vs, matid, 0) << 20)
-            areas0 = scene.tri_areas
-            if areas0 is None:
-                from sycl_ray_tracing_tpu.ops.sampling import triangle_area
-
-                areas0 = triangle_area(scene.triangles)
-            sa = jnp.where(vs, areas0[ci], 0.0)
-            slot_table = jnp.stack(
-                [sp, jax.lax.bitcast_convert_type(sa, jnp.int32)], axis=1
+            slot_packed = jnp.where(vs, idx, 0) | (
+                jnp.where(vs, matid, 0) << 20
             )
+        areas_tab = scene.tri_areas
+        if num_lights > 0 and areas_tab is None:
+            from sycl_ray_tracing_tpu.ops.sampling import triangle_area
 
-        # [K2,T,2] view: XLA gives [K2,128]-leading-dim tables the VMEM
-        # copy-in treatment (measured 0.26 vs 0.50 ms/launch for the same
-        # gather against the flat [K2*T,2] layout, scratch/profile_r5_*)
+            areas_tab = triangle_area(scene.triangles)
+
         _T = cs.cl_tri_idx.shape[1]
-        slot3 = slot_table.reshape(-1, _T, 2)
 
         def slot_lookup(packed):
-            """packed winner -> (prim, material id, area): ONE row-gather
-            of the [K2,T,2] slot table (packed = cluster*T + lane).
+            """packed winner -> (prim, material id, area): one [K2,T] i32
+            gather (packed = cluster*T + lane) + one 1-D area gather.
+            Both 2-D-with-128-lane-minor / 1-D shapes — a fused [K2*T,2]
+            table padded its 2-wide minor dim to 128 lanes (100 MB, see
+            Scene.slot_packed).
 
-            The gathered rows are tagged as remat residuals (ISECT_NAME):
-            they are traversal-derived and the bounce/sample replay would
-            otherwise re-pay the 0.5 ms/launch gather twice (r5 bwd
-            profile: 3x 31.9 ms/frame, scratch/profile_r5_bwd.log)."""
+            The gathered values are tagged as remat residuals
+            (ISECT_NAME): they are traversal-derived and the bounce/sample
+            replay would otherwise re-pay the HBM gathers twice (r5 bwd
+            profile, scratch/profile_r5_bwd.log)."""
             from sycl_ray_tracing_tpu.ops.intersect import name_traversal
 
             win = jnp.maximum(packed, 0)
-            rows = name_traversal(slot3[win // _T, win % _T])
-            sp = rows[:, 0]
+            sp = name_traversal(slot_packed[win // _T, win % _T])
             prim = jnp.where(packed >= 0, sp & 0xFFFFF, -1)
-            area = jax.lax.bitcast_convert_type(rows[:, 1], jnp.float32)
+            if num_lights > 0:
+                area = name_traversal(
+                    areas_tab[jnp.clip(prim, 0, n_tris - 1)]
+                )
+            else:
+                area = jnp.zeros(packed.shape, jnp.float32)
             return prim, sp >> 20, area
 
         def sphere_merge_mid(tri_hit, tri_mid, s_hit):

@@ -89,14 +89,16 @@ class Scene:
     clusters: Optional[Any] = None    # ops.cluster.ClusterScene or None
     tri_areas: Optional[jnp.ndarray] = None  # [N] precomputed areas
     # Cluster-SLOT shading table (aligned with clusters.cl_tri_idx):
-    # [K2*T, 2] i32 — column 0 = tri_idx | material_id << 20, column 1 =
-    # the triangle's area as f32 bits.  ONE VMEM-resident row-gather by
-    # the kernel's packed (cluster,lane) winner resolves prim, material
-    # AND emitter area (r5 profile: the [199716,8]/[199716,4]
-    # per-primitive gathers it replaces cost up to 0.5 ms per launch when
-    # XLA leaves them in HBM; gathers cost ~8ns per ROW regardless of
-    # width, so one 2-wide row beats two separate tables).
-    slot_table: Optional[jnp.ndarray] = None
+    # [K2,T] i32, tri_idx | material_id << 20.  ONE VMEM-resident gather
+    # by the kernel's packed (cluster,lane) winner resolves prim AND
+    # material (r5 profile: the [199716,8]/[199716,4] per-primitive
+    # gathers it replaces cost up to 0.5 ms per launch when XLA leaves
+    # them in HBM).  Deliberately 2-D with a 128-lane minor dim: TPU
+    # layouts pad the minor dimension to 128 lanes, so a [K2*T,2]-shaped
+    # variant materialized at 64x its logical size (100 MB — seen as
+    # padded constant literals in the r5 remat=False OOM dump); emitter
+    # areas are gathered from the 1-D tri_areas table instead.
+    slot_packed: Optional[jnp.ndarray] = None
 
     @property
     def num_triangles(self) -> int:
@@ -162,17 +164,7 @@ def _slot_tables(scene: "Scene") -> dict:
     sp = np.where(valid, idx, 0).astype(np.int32) | (
         np.where(valid, matid, 0).astype(np.int32) << 20
     )
-    if scene.tri_areas is not None:
-        areas = np.asarray(scene.tri_areas)
-    else:
-        t = np.asarray(scene.triangles)
-        c = np.cross(t[:, 1] - t[:, 0], t[:, 2] - t[:, 0])
-        areas = 0.5 * np.linalg.norm(c, axis=-1)
-    sa = np.where(valid, areas[ci], 0.0).astype(np.float32)
-    tab = np.stack(
-        [sp.reshape(-1), sa.reshape(-1).view(np.int32)], axis=1
-    )                                                     # [K2*T, 2] i32
-    return dict(slot_table=jnp.asarray(tab))
+    return dict(slot_packed=jnp.asarray(sp))
 
 
 def make_scene(
