@@ -282,3 +282,41 @@ def test_list_backend_agrees_with_env_map(cornell_scene, test_env_map, key):
     }
     np_.testing.assert_allclose(imgs["list"], imgs["brute"], rtol=1e-4,
                                 atol=1e-5)
+
+
+def test_remat_off_matches_remat_on(cornell_scene):
+    """RenderConfig.remat=False (store scan residuals) must produce the
+    same forward image and the same gradients as the path-replay default
+    — it only changes what the backward stores vs recomputes."""
+    import dataclasses as _dc
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sycl_ray_tracing_tpu.models import pathtracer
+    from sycl_ray_tracing_tpu.models.camera import cornell_box_camera
+    from sycl_ray_tracing_tpu.utils.config import RenderConfig
+
+    cam = cornell_box_camera()
+    key = jax.random.PRNGKey(13)
+
+    def run(remat):
+        cfg = RenderConfig(width=8, height=8, samples=2, bounces=2,
+                           tile_rays=None, remat=remat)
+
+        def loss(d):
+            mats = _dc.replace(
+                cornell_scene.materials,
+                diffuse=cornell_scene.materials.diffuse * d,
+            )
+            s = cornell_scene.with_materials(mats)
+            return jnp.mean(pathtracer.render(s, cam, cfg, key))
+
+        v, g = jax.value_and_grad(loss)(jnp.float32(1.0))
+        return float(v), float(g)
+
+    v1, g1 = run(True)
+    v0, g0 = run(False)
+    np.testing.assert_allclose(v0, v1, rtol=1e-6)
+    np.testing.assert_allclose(g0, g1, rtol=1e-4, atol=1e-8)
