@@ -81,3 +81,73 @@ def test_texel_gradients_flow(test_env_map):
     g = jax.grad(f)(img)
     assert float(jnp.sum(g)) == 3.0  # one texel, 3 channels
     assert np.isfinite(np.asarray(g)).all()
+
+
+def test_two_level_inversion_bit_identical_to_dense():
+    """The block-end + boundary-block column inversion must produce the
+    EXACT texel the dense compare-and-count picks, including rows with
+    zero-luminance runs (duplicate cdf values across block boundaries)."""
+    import numpy as np
+
+    from sycl_ray_tracing_tpu.ops import envmap
+
+    rng = np.random.default_rng(3)
+    h, w = 16, 96  # not a multiple of COL_BLK=32? 96 = 3 blocks exactly;
+    lum = rng.random((h, w)).astype(np.float32)
+    lum[:, 20:50] = 0.0          # zero run spanning a block boundary
+    img = np.repeat(lum[..., None], 3, axis=2) / np.array(
+        [0.3086 * 3, 0.6094 * 3, 0.0820 * 3], np.float32
+    )
+    s = envmap.build_sampler(jnp.asarray(img))
+    u_row = jnp.asarray(rng.random(512), jnp.float32)
+    u_col = jnp.asarray(rng.random(512), jnp.float32)
+    _, _, _, _ = envmap.sample(s, u_row, u_col)
+
+    # dense reference: same row pick, dense count over cond_cdf
+    y = jnp.sum(s.row_cdf <= (u_row * s.total)[:, None], axis=-1)
+    y = jnp.clip(y, 0, h - 1).astype(jnp.int32)
+    pairs_lo = jnp.concatenate([jnp.zeros((1,)), s.row_cdf[:-1]])[y]
+    row_sum = jnp.maximum(s.row_cdf[y] - pairs_lo, 1e-12)
+    target = u_col * row_sum
+    dense_x = jnp.clip(
+        jnp.sum(s.cond_cdf[y] <= target[:, None], axis=-1), 0, w - 1
+    )
+    # two-level (what sample() uses internally)
+    nb = s.cond_blk.shape[1]
+    blk_w = s.cond_fine.shape[1]
+    blk = jnp.clip(
+        jnp.sum(s.cond_blk[y] <= target[:, None], axis=-1), 0, nb - 1
+    ).astype(jnp.int32)
+    two_x = jnp.clip(
+        blk * blk_w
+        + jnp.sum(s.cond_fine[y * nb + blk] <= target[:, None], axis=-1),
+        0, w - 1,
+    )
+    np.testing.assert_array_equal(np.asarray(dense_x), np.asarray(two_x))
+
+
+def test_two_level_inversion_odd_width():
+    """Widths that do not divide COL_BLK pad the last block with +inf;
+    counts must still match the dense inversion."""
+    import numpy as np
+
+    from sycl_ray_tracing_tpu.ops import envmap
+
+    rng = np.random.default_rng(7)
+    h, w = 8, 45  # 45 = 1 full block + 13-wide padded tail
+    img = rng.random((h, w, 3)).astype(np.float32)
+    s = envmap.build_sampler(jnp.asarray(img))
+    u = jnp.asarray(rng.random(256), jnp.float32)
+    v = jnp.asarray(rng.random(256), jnp.float32)
+    d, rad, pdf, _ = envmap.sample(s, u, v)
+    assert np.isfinite(np.asarray(d)).all()
+    assert np.isfinite(np.asarray(pdf)).all()
+    # cross-check against dense counting
+    y = jnp.clip(jnp.sum(s.row_cdf <= (u * s.total)[:, None], axis=-1),
+                 0, h - 1).astype(jnp.int32)
+    lo = jnp.concatenate([jnp.zeros((1,)), s.row_cdf[:-1]])[y]
+    t = v * jnp.maximum(s.row_cdf[y] - lo, 1e-12)
+    dense_x = jnp.clip(jnp.sum(s.cond_cdf[y] <= t[:, None], axis=-1),
+                       0, w - 1)
+    exp_rad = s.image[y, dense_x]
+    np.testing.assert_allclose(np.asarray(rad), np.asarray(exp_rad))

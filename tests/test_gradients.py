@@ -320,3 +320,26 @@ def test_remat_off_matches_remat_on(cornell_scene):
     v0, g0 = run(False)
     np.testing.assert_allclose(v0, v1, rtol=1e-6)
     np.testing.assert_allclose(g0, g1, rtol=1e-4, atol=1e-8)
+
+
+def test_permute_rows_gather_only_vjp():
+    """The compaction permute's custom VJP must equal the true
+    permutation adjoint (inverse-permutation gather)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sycl_ray_tracing_tpu.models.pathtracer import _permute_rows
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random((64, 5)), jnp.float32)
+    perm = jnp.asarray(rng.permutation(64), jnp.int32)
+    inv = jnp.argsort(perm)
+    y, vjp = jax.vjp(lambda x: _permute_rows(x, perm, inv), x)
+    np.testing.assert_array_equal(np.asarray(y), np.asarray(x)[perm])
+    ct = jnp.asarray(rng.random((64, 5)), jnp.float32)
+    (gx,) = vjp(ct)
+    # adjoint of y = x[perm] is gx[perm[i]] = ct[i]
+    expect = np.zeros((64, 5), np.float32)
+    expect[np.asarray(perm)] = np.asarray(ct)
+    np.testing.assert_allclose(np.asarray(gx), expect)
