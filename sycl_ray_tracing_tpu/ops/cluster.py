@@ -574,9 +574,12 @@ def _extract_candidates(hit, tnear, maxc: int, k2: int):
 # maxc passes over [R,K2] — HBM traffic R*K2*maxc*4B) or "topk"
 # (jax.lax.approx_min_k, ONE fused PartialReduce pass; TPU-native top-k,
 # NOT the full-sort jnp.top_k this chip lowers badly).  approx recall
-# misses are made safe by a count check: every ray whose returned list is
-# shorter than min(true hit count, maxc) raises the overflow flag AND has
-# its certificate poisoned exactly like a true overflow.  Selected at runtime
+# misses are made safe by poisoning: rows that come back SHORT
+# (got < min(count, maxc)) and — under approx recall — FULL rows
+# (count > maxc, where a miss is undetectable by counting) both raise the
+# overflow flag AND have their certificate poisoned like a true overflow.
+# Certificate-consuming passes (listtrace._run) always request exact
+# recall, which keeps full rows' certificates live.  Selected at runtime
 # so the TPU A/B (scratch/) can flip the default with evidence.
 # Default flipped to "topk" (round-4): the round-3 TPU A/B measured the
 # per-ray dragon frame at 1.34 (minrounds) vs 1.73 Mrays/s (topk)
@@ -642,13 +645,22 @@ def _extract_candidates_topk(hit, tnear, maxc: int, k2: int,
         BIG_T,
     )
     # completeness check: recall misses and >maxc rays both flag overflow
-    # and poison the per-ray certificate (ctn last -> -BIG, cand last -> 0)
+    # and poison the per-ray certificate (ctn last -> -BIG, cand last -> 0).
+    # Under APPROX recall, FULL rows (count > maxc) are poisoned too: a
+    # recall miss there keeps got == maxc but swaps a true-nearest key for
+    # a farther one, so ctn's last slot would OVER-state the drop threshold
+    # and the distance certificate (tmin <= ctn_last) could wrongly certify
+    # a ray whose true closest hit lives in the missed cluster — the count
+    # check alone only catches rows that came back SHORT.  Exact extraction
+    # keeps the genuine certificate: its kept set is provably the maxc
+    # nearest, so ctn_last lower-bounds every dropped entry-t.
     count = jnp.sum(hit, axis=1)
     got = jnp.sum(alive, axis=1)
     short = got < jnp.minimum(count, maxc)
     over = short | (count > maxc)
+    unsound = short if exact else over
     last_c = jnp.where(over & (cand[:, -1] < 0), 0, cand[:, -1])
-    last_t = jnp.where(short, -BIG_T, ctn[:, -1])
+    last_t = jnp.where(unsound, -BIG_T, ctn[:, -1])
     cand = jnp.concatenate([cand[:, :-1], last_c[:, None]], axis=1)
     ctn = jnp.concatenate([ctn[:, :-1], last_t[:, None]], axis=1)
     return cand, ctn, jnp.any(over)
@@ -659,6 +671,58 @@ def _extract(hit, tnear, maxc, k2, exact: bool = False):
         return _extract_candidates_topk(hit, tnear, maxc, k2, exact=exact)
     # threshold-min extraction is always exact
     return _extract_candidates(hit, tnear, maxc, k2)
+
+
+def _membership_cert(hit, tn_blk, cand_local, ctn, ncols: int, group: int):
+    """Per-ray MEMBERSHIP exactness certificate for block-union lists.
+
+    A ray is provably exact — even when its block's union list FILLED —
+    if every column (cluster) the RAY ITSELF hits is among the KEPT
+    (extracted) columns: the kernel then tested every box that could
+    contain one of this ray's hits, so its closest-hit/any-hit answer is
+    the true one.  This is what the block-level distance certificate
+    (tmin <= ctn_last) cannot prove for unblocked any-hit rays (their
+    t_lim is BIG), and those rays were the bulk of the escalation volume
+    (see listtrace.ESC_CAP_DIV).
+
+    With EXACT extraction the kept set is exactly {packed keys <= last
+    kept key} (keys carry unique id bits), so membership is one dense
+    compare against a per-block threshold — no scatter, no [nb,K,maxc]
+    one-hot.  The compare fuses into the same [B,ncols] pass shape as the
+    slab test that produced ``hit``.
+
+    hit:        [B, ncols]  per-RAY column hit mask (same t_lim the kernel
+                            will enforce)
+    tn_blk:     [nb, ncols] block-min entry-t (what extraction keyed on)
+    cand_local: [nb, maxc]  extracted LOCAL column ids (-1 empty)
+    ctn:        [nb, maxc]  extracted entry-t (-BIG_T = poisoned row)
+    Returns covered [B] bool.  Poisoned rows (approx-recall shortfalls,
+    hier SC overflow is handled by the CALLER via row_of) never certify:
+    their kept set is not a key-prefix, so no membership claim holds.
+    """
+    nb = tn_blk.shape[0]
+    id_bits = max(11, (ncols - 1).bit_length())
+    id_mask = jnp.int32((1 << id_bits) - 1)
+    # same packing as _extract*: quantized entry-t above unique column id
+    tb = jax.lax.bitcast_convert_type(
+        jnp.clip(tn_blk, 0.0, 1e30), jnp.int32
+    )
+    ids = jax.lax.broadcasted_iota(jnp.int32, tn_blk.shape, 1)
+    bkey = (tb & ~id_mask) | ids                          # [nb,ncols]
+    full = cand_local[:, -1] >= 0
+    poisoned = ctn[:, -1] < 0.0                           # -BIG_T sentinel
+    last_key = (
+        jax.lax.bitcast_convert_type(ctn[:, -1], jnp.int32) & ~id_mask
+    ) | jnp.maximum(cand_local[:, -1], 0)
+    # non-full lists kept every union column -> nothing was ever dropped
+    # (+inf bits exceed every real key: clip(.,1e30) < inf)
+    thr = jnp.where(full, last_key, jnp.int32(0x7F800000))
+    drop_col = bkey > thr[:, None]                        # [nb,ncols]
+    dropped = jnp.any(
+        hit.reshape(nb, group, ncols) & drop_col[:, None, :], axis=2
+    )                                                     # [nb,group]
+    covered = (~dropped) & (~poisoned)[:, None]
+    return covered.reshape(-1)
 
 
 def candidate_clusters(scene: ClusterScene, ray_o, ray_d, t_lim, maxc: int,
@@ -680,12 +744,16 @@ def candidate_clusters(scene: ClusterScene, ray_o, ray_d, t_lim, maxc: int,
 
 
 def candidate_clusters_grouped(scene: ClusterScene, ray_o, ray_d, t_lim,
-                               maxc: int, group: int, exact: bool = False):
+                               maxc: int, group: int, exact: bool = False,
+                               ray_cert: bool = False):
     """Per-GROUP (block of ``group`` consecutive rays) candidate lists: the
     union of the block's per-ray cluster hits, nearest-first by the BLOCK
     entry-t (min over the block's rays).  B must divide by ``group``.
 
-    Returns (cand [B/group, maxc], ctn [B/group, maxc], overflow).
+    Returns (cand [B/group, maxc], ctn [B/group, maxc], overflow), plus
+    covered [B] (the per-ray MEMBERSHIP certificate, _membership_cert)
+    when ``ray_cert=True`` — ray_cert requires ``exact=True`` (approx
+    recall breaks the kept-set-is-a-key-prefix property it relies on).
 
     This is the candidate build for the block-shared list kernel: one list
     serves all ``group`` rays, so the kernel loads each candidate tile ONCE
@@ -696,6 +764,7 @@ def candidate_clusters_grouped(scene: ClusterScene, ray_o, ray_d, t_lim,
     it satisfies t >= ray-entry >= block-entry >= ctn[:, -1]."""
     B = ray_o.shape[0]
     assert B % group == 0
+    assert not (ray_cert and not exact), "membership cert needs exact"
     inv_d = _inv_dir(ray_d)
     hit, tnear = _dense_cluster_mask(scene, ray_o, inv_d, t_lim)   # [B,K2]
     k2 = scene.num_clusters
@@ -705,12 +774,17 @@ def candidate_clusters_grouped(scene: ClusterScene, ray_o, ray_d, t_lim,
         .reshape(B // group, group, k2),
         axis=1,
     )
-    return _extract(hit_g, tn_g, maxc, k2, exact=exact)
+    cand, ctn, of = _extract(hit_g, tn_g, maxc, k2, exact=exact)
+    if not ray_cert:
+        return cand, ctn, of
+    covered = _membership_cert(hit, tn_g, cand, ctn, k2, group)
+    return cand, ctn, of, covered
 
 
 def candidate_clusters_hier(scene: ClusterScene, ray_o, ray_d, t_lim,
                             maxc: int, maxs: int = 12, group: int = 8,
-                            grouped: bool = False, exact: bool = False):
+                            grouped: bool = False, exact: bool = False,
+                            ray_cert: bool = False):
     """Per-ray nearest-first candidate lists via a SUPERCLUSTER prefilter.
     With ``grouped=True``, returns per-BLOCK union lists [B/group, maxc]
     instead (the block-shared kernel's contract), still over the
@@ -796,10 +870,12 @@ def candidate_clusters_hier(scene: ClusterScene, ray_o, ray_d, t_lim,
     )                                                             # [nb,g,maxs,S]
     C = maxs * S
 
+    covered = None
     if grouped:
         # BLOCK lists (for the block-shared kernel): union-reduce the
         # per-ray child tests before extraction, like
         # candidate_clusters_grouped but over the prefiltered columns
+        assert not (ray_cert and not exact), "membership cert needs exact"
         hit_b = hit2.reshape(nb, group, C).any(axis=1)
         tn_b = jnp.min(
             jnp.where(hit2, jnp.maximum(tnear, 0.0), BIG_T)
@@ -808,6 +884,13 @@ def candidate_clusters_hier(scene: ClusterScene, ray_o, ray_d, t_lim,
         )
         cand_l, ctn, of2 = _extract(hit_b, tn_b, maxc, C,
                                     exact=exact)                  # [nb,maxc]
+        if ray_cert:
+            # membership over the PREFILTERED local columns; SC-overflow
+            # blocks (row_of below) may be missing whole superclusters, so
+            # their rays never certify regardless of local membership
+            covered = _membership_cert(
+                hit2.reshape(B, C), tn_b, cand_l, ctn, C, group
+            ) & ~jnp.repeat(sc_of, group)
         slot = jnp.maximum(cand_l, 0)
         sc_g = jnp.take_along_axis(scand, slot // S, axis=1)      # [nb,maxc]
         cand = jnp.where(cand_l >= 0, sc_g * S + slot % S, -1)
@@ -831,6 +914,8 @@ def candidate_clusters_hier(scene: ClusterScene, ray_o, ray_d, t_lim,
     last_t = jnp.where(row_of, -BIG_T, ctn[:, -1])
     cand = jnp.concatenate([cand[:, :-1], last_c[:, None]], axis=1)
     ctn = jnp.concatenate([ctn[:, :-1], last_t[:, None]], axis=1)
+    if covered is not None:
+        return cand, ctn, jnp.any(sc_of) | of2, covered
     return cand, ctn, jnp.any(sc_of) | of2
 
 

@@ -485,16 +485,25 @@ def _run_once(scene: ClusterScene, ray_o, ray_d, t_lim, maxc, any_hit,
         # would leave big-scene escalations unable to certify; the dense
         # [rows, K2] build is exact and affordable on escalation buckets
         big = (not force_dense) and scene.num_clusters > 2 * maxs * S_CLUSTER
+        # the per-ray MEMBERSHIP certificate (cluster._membership_cert)
+        # requires exact extraction; approx share runs (scratch A/Bs only
+        # — _run always passes exact) fall back to block certificates
+        covered = None
         if share and big:
-            cand, ctn, overflow = candidate_clusters_hier(
+            out = candidate_clusters_hier(
                 scene, rg[:, 0:3], rg[:, 3:6], rg[:, 6], maxc,
                 maxs=maxs, group=rb, grouped=True, exact=exact,
+                ray_cert=exact,
             )                                             # (g, maxc)
+            cand, ctn, overflow = out[:3]
+            covered = out[3] if exact else None
         elif share:
-            cand, ctn, overflow = candidate_clusters_grouped(
+            out = candidate_clusters_grouped(
                 scene, rg[:, 0:3], rg[:, 3:6], rg[:, 6], maxc, rb,
-                exact=exact,
+                exact=exact, ray_cert=exact,
             )                                             # (g, maxc)
+            cand, ctn, overflow = out[:3]
+            covered = out[3] if exact else None
         elif big:
             # supercluster-prefiltered build (only where the column cut is
             # >=2x): extraction traffic scales with maxs*64 prefiltered
@@ -602,6 +611,13 @@ def _run_once(scene: ClusterScene, ray_o, ray_d, t_lim, maxc, any_hit,
                     ctn[:, maxc - 1][:, None], (g, rb)
                 ).reshape(-1)
             )
+            if covered is not None:
+                # per-ray membership certificate: exact even in a FULL
+                # block when all of THIS ray's hit clusters were kept —
+                # fires for the unblocked any-hit rays the distance
+                # certificate never could (t_lim BIG ⇒ tmin == t_lim),
+                # which were the bulk of the escalation volume
+                resolved = resolved | covered
             blk = jnp.arange(g * rb, dtype=jnp.int32) // rb
             cl = cand.reshape(-1)[blk * maxc + rwin]
         else:
@@ -711,19 +727,23 @@ def _run(scene: ClusterScene, ray_o, ray_d, t_lim, maxc, any_hit,
         ah = jnp.full((B,), any_hit, bool)
     else:
         ah = any_hit
-    # the MAIN pass of an escalate-enabled run may use approximate topk
-    # extraction (recall misses are poisoned and healed by the escalation
-    # pass); callers that PINNED maxc get exact extraction — there is no
-    # second pass to heal a miss, and a pinned-deep-maxc caller asked for
-    # deterministic coverage (tests rely on this contract).  The predicate
-    # is computed ONCE: a per-ray run already at the 128-slot cap has no
-    # escalation pass either, so its main pass must be exact too (ADVICE
-    # r4: escalate=True, share=False, maxc==128 would otherwise leave
-    # topk recall misses permanently poisoned).
+    # The MAIN pass uses EXACT (full-recall) extraction ALWAYS — r5 late
+    # fix.  The old scheme let escalate-enabled main passes run approx
+    # topk (recall 0.95), believing the count check poisoned every recall
+    # miss; it only poisons rows that come back SHORT.  A FULL union row
+    # (count > maxc) with a recall miss keeps got == maxc while swapping
+    # a true-nearest cluster for a farther one — ctn_last then OVER-states
+    # the drop threshold and the distance certificate could wrongly
+    # certify a ray whose true closest hit lives in the missed cluster
+    # (never healed: certified rays skip escalation).  Exact extraction
+    # restores the certificate's premise (kept = the maxc nearest), and
+    # is also what the per-ray MEMBERSHIP certificate requires
+    # (cluster._membership_cert) — _extract_candidates_topk now also
+    # poisons full rows under approx recall as defense in depth.
     will_escalate = escalate and (share or maxc < 128)
     t, packed, resolved, _raw = _run_once(
         scene, ray_o, ray_d, t_lim, maxc, any_hit, sort=sort, mask=mask,
-        share=share, exact=not will_escalate,
+        share=share, exact=True,
     )
     if will_escalate:
         redo = live & ~_certain(ah, packed, resolved)

@@ -306,12 +306,113 @@ def test_topk_extraction_matches_minrounds():
         ref_h = C.candidate_clusters_hier(cs, o, d, tl, 32, maxs=16,
                                           group=8)
         C.EXTRACT_METHOD = "topk"
-        got = C.candidate_clusters(cs, o, d, tl, 32)
+        # exact=True: full recall, where topk's contract is bit-equality
+        # with threshold-min (this is what certificate-consuming passes
+        # request, listtrace._run)
+        got = C.candidate_clusters(cs, o, d, tl, 32, exact=True)
         got_h = C.candidate_clusters_hier(cs, o, d, tl, 32, maxs=16,
-                                          group=8)
+                                          group=8, exact=True)
+        # approx recall (exact=False) must POISON full rows — a recall
+        # miss there is undetectable by counting, so their certificates
+        # cannot be trusted (r5 soundness fix)
+        ax = C.candidate_clusters(cs, o, d, tl, 32)
     finally:
         C.EXTRACT_METHOD = saved
     np.testing.assert_array_equal(np.asarray(ref[0]), np.asarray(got[0]))
     np.testing.assert_array_equal(np.asarray(ref[1]), np.asarray(got[1]))
     assert bool(ref[2]) == bool(got[2])
     np.testing.assert_array_equal(np.asarray(ref_h[0]), np.asarray(got_h[0]))
+    full = np.asarray(ref[0])[:, -1] >= 0
+    hit, _ = C._dense_cluster_mask(cs, o, C._inv_dir(d), tl)
+    over = np.asarray(hit).sum(axis=1) > 32
+    assert over.any()
+    assert (np.asarray(ax[1])[over, -1] < 0).all(), (
+        "approx extraction must poison count>maxc rows"
+    )
+
+
+def test_membership_certificate_matches_set_oracle():
+    """_membership_cert == the set claim it encodes: covered[b] is True
+    exactly when every cluster ray b hits is among its block's KEPT union
+    ids (exact extraction).  Overlapping random soup + tiny maxc forces
+    full unions, so both covered=True-in-a-full-block (the new
+    certificates) and covered=False (genuinely dropped clusters) occur."""
+    from sycl_ray_tracing_tpu.ops import cluster as C
+
+    rng = np.random.default_rng(7)
+    tris = rng.uniform(-1, 1, (2000, 3, 3)).astype(np.float32)
+    cs = C.build_clusters(tris)
+    B, group, maxc = 256, 32, 8
+    o, d = _random_rays(B, rng)
+    tl = jnp.full((B,), 1e30, jnp.float32)
+    cand, ctn, of, covered = C.candidate_clusters_grouped(
+        cs, o, d, tl, maxc, group, exact=True, ray_cert=True
+    )
+    hit, _tn = C._dense_cluster_mask(cs, o, C._inv_dir(d), tl)
+    hit = np.asarray(hit)
+    candn = np.asarray(cand)
+    cov = np.asarray(covered)
+    full = candn[:, -1] >= 0
+    assert full.any(), "workload must produce full unions"
+    want = np.zeros(B, bool)
+    for b in range(B):
+        kept = set(candn[b // group][candn[b // group] >= 0].tolist())
+        mine = set(np.nonzero(hit[b])[0].tolist())
+        want[b] = mine <= kept
+    np.testing.assert_array_equal(cov, want)
+    # the whole point: some rays in FULL blocks are certified...
+    full_rays = np.repeat(full, group)
+    assert (cov & full_rays).any()
+    # ...and some are not (their own clusters were dropped)
+    assert (~cov & full_rays).any()
+
+
+def test_membership_certificate_hier_grouped():
+    """Same set oracle through the supercluster-prefiltered grouped build:
+    covered == (ray's global hit clusters subset of kept global ids) for
+    non-SC-overflow blocks, and False everywhere a block's SC list
+    truncated (those rays may be missing whole superclusters)."""
+    from sycl_ray_tracing_tpu.ops import cluster as C
+    from sycl_ray_tracing_tpu.utils.procedural import dragon_standin
+
+    tris = dragon_standin(60_000)
+    cs = C.build_clusters(tris)
+    rng = np.random.default_rng(13)
+    B, group, maxc, maxs = 256, 32, 16, 4   # tiny maxs: some sc_of blocks
+    o, d = _random_rays(B, rng, -3, 3)
+    # first half: a tight coherent bundle (small unions -> certifiable)
+    o = np.array(o)
+    d = np.array(d)
+    h = B // 2
+    o[:h] = np.array([0.0, 0.2, 3.0], np.float32)
+    dd = np.stack([
+        np.linspace(-0.02, 0.02, h),
+        np.linspace(-0.01, 0.01, h),
+        np.full(h, -1.0),
+    ], axis=1).astype(np.float32)
+    d[:h] = dd / np.linalg.norm(dd, axis=-1, keepdims=True)
+    o, d = jnp.asarray(o), jnp.asarray(d)
+    tl = jnp.full((B,), 1e30, jnp.float32)
+    cand, ctn, of, covered = C.candidate_clusters_hier(
+        cs, o, d, tl, maxc, maxs=maxs, group=group, grouped=True,
+        exact=True, ray_cert=True
+    )
+    cov = np.asarray(covered)
+    candn = np.asarray(cand)
+    # oracle SC overflow per block
+    m1, _ = C._dense_box_mask(cs.sc_box, o, C._inv_dir(d), tl)
+    m1 = np.asarray(m1)
+    nb = B // group
+    sc_of = m1.reshape(nb, group, -1).any(axis=1).sum(axis=1) > maxs
+    hit, _tn = C._dense_cluster_mask(cs, o, C._inv_dir(d), tl)
+    hit = np.asarray(hit)
+    for b in range(B):
+        blk = b // group
+        if sc_of[blk]:
+            assert not cov[b]
+            continue
+        kept = set(candn[blk][candn[blk] >= 0].tolist())
+        mine = set(np.nonzero(hit[b])[0].tolist())
+        assert cov[b] == (mine <= kept)
+    assert sc_of.any(), "workload must exercise the SC-overflow poisoning"
+    assert cov.any() and not cov.all()

@@ -391,3 +391,56 @@ def test_large_scene_beyond_2048_clusters(share):
     np.testing.assert_allclose(
         np.asarray(t)[mr], np.asarray(oracle.t)[mr], rtol=1e-4, atol=1e-6
     )
+
+
+def test_membership_cert_sound_without_escalation(monkeypatch):
+    """Certificate soundness with escalation OFF: every ray the tracer
+    marks resolved must match the brute oracle exactly — including rays
+    in FULL union blocks, which only the per-ray MEMBERSHIP certificate
+    (cluster._membership_cert) can certify.  Also pins the r5 soundness
+    fix: the main pass uses EXACT extraction, so a full block's
+    certificates can never be poisoned by an approx-recall miss.
+
+    The any-hit half is the perf-critical case: unblocked occlusion rays
+    with t_lim=BIG can never satisfy the distance certificate in a full
+    block (tmin == t_lim > ctn_last), so any resolved=True there proves
+    the membership certificate fired — and must agree with the oracle."""
+    import sycl_ray_tracing_tpu.ops.pallas.listtrace as L
+    from sycl_ray_tracing_tpu.utils.procedural import dragon_standin
+
+    monkeypatch.setenv("LISTTRACE_NO_ESCALATE", "1")
+    monkeypatch.setattr(L, "DEFAULT_MAXC_SHARE", 16)  # force full unions
+    tris_np = dragon_standin(12_000)
+    tris = jnp.asarray(tris_np)
+    cs = build_clusters(tris_np)
+    rng = np.random.default_rng(17)
+    B = 512
+    o, d = _random_rays(B, rng, -3, 3)
+    oracle = intersect_triangles(o, d, tris)
+    m = np.asarray(oracle.hit)
+
+    # closest-hit: certified rays are bit-true vs the oracle
+    t, prim, of, res = closest_hit(cs, o, d, share=True, with_resolved=True)
+    r = np.asarray(res)
+    assert r.any() and not r.all()          # workload exercises both
+    assert bool(of)                         # honest flag: uncertified rays
+    np.testing.assert_array_equal(np.asarray(prim >= 0)[r], m[r])
+    mr = m & r
+    np.testing.assert_array_equal(
+        np.asarray(prim)[mr], np.asarray(oracle.prim)[mr]
+    )
+    np.testing.assert_allclose(
+        np.asarray(t)[mr], np.asarray(oracle.t)[mr], rtol=1e-4, atol=1e-6
+    )
+
+    # any-hit with unbounded t_lim: unblocked+resolved can only come from
+    # the membership certificate; each one must truly be a miss
+    tl = jnp.full((B,), BIG_T, jnp.float32)
+    t2, packed2, res2, of2 = L._run(
+        cs, o, d, tl, 16, any_hit=True, share=True, escalate=False
+    )
+    blocked = np.asarray(packed2 >= 0)
+    r2 = np.asarray(res2)
+    unb_cert = r2 & ~blocked
+    assert unb_cert.any(), "membership certificate never fired"
+    np.testing.assert_array_equal(blocked[r2], m[r2])
